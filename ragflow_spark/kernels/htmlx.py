@@ -1,0 +1,361 @@
+"""HTML DOM parse + tag/text-density boilerplate strip.
+
+A from-scratch, readability/trafilatura-style main-content extractor
+(BASELINE.json north_star) re-expressing the semantics the reference
+gets from ``deepdoc.parser.HtmlParser`` — called as ``HtmlParser()(
+None, response.content)`` and joined with "\\n" at reference
+agent/component/invoke.py:92-94. That parser is NOT in the checkout
+(SURVEY.md §0.2 [NOT IN CHECKOUT]), so the heuristics below are
+specified here from scratch and pinned by our own fixtures
+(FIXTURES.md: templates t01-t14).
+
+Pipeline (document order only, no dict-order dependence):
+
+  1. parse bytes -> lightweight DOM (stdlib html.parser, auto-close
+     rules for p/li/tr/td/th/option; entities decoded by the parser)
+  2. prune non-content subtrees (script/style/noscript/head/...)
+  3. prune boilerplate subtrees: tag in {nav, aside, header, footer}
+     or class/id matching the stop-word regex (cookie banner, sidebar,
+     share bar, ...)
+  4. text-density pruning: container blocks whose link density
+     exceeds LINK_DENSITY_MAX with less than LINKY_TEXT_MIN chars of
+     text are dropped (link farms, t02); tables with no <th>, high
+     link density are layout tables and dropped (t03)
+  5. emit sections: one per block-level element, normalized per
+     FIXTURES.md §5.1 (NFC, \\n newlines, space-run collapse,
+     <=2 consecutive newlines, per-section strip)
+
+All thresholds are frozen named constants — fixture stability depends
+on them (SURVEY.md §7.3.2).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from html.parser import HTMLParser
+
+from ragflow_spark.kernels.sniff import (
+    CODE_EMPTY_PAYLOAD,
+    CODE_HTML_PARSE_ERROR,
+    CODE_OK,
+    decode_payload,
+)
+
+# ---------------------------------------------------------------- DOM
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Subtrees that never contribute content.
+DROP_TAGS = frozenset(
+    "script style noscript template head iframe svg canvas object embed "
+    "applet map button select option datalist textarea".split()
+)
+
+# Structural boilerplate by tag name alone.
+BOILERPLATE_TAGS = frozenset("nav aside header footer".split())
+
+# class/id stop-words (matched on word-ish boundaries, lowercase).
+STOPWORD_RE = re.compile(
+    r"(?:^|[\s_\-])(?:nav|navbar|menu|footer|header|sidebar|side-bar|banner|"
+    r"cookie|consent|advert|ads?|promo|sponsor|social|share|sharing|"
+    r"breadcrumbs?|comments?|related|widget|popup|modal|subscribe|newsletter)"
+    r"(?:$|[\s_\-])"
+)
+
+BLOCK_TAGS = frozenset(
+    "address article aside blockquote body dd details dir div dl dt fieldset "
+    "figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr html li "
+    "main menu nav ol p pre section summary table tbody td tfoot th thead tr "
+    "ul".split()
+)
+
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+# <p> (and friends) implicitly close when one of these opens.
+_P_CLOSERS = frozenset(
+    "address article aside blockquote div dl fieldset figure footer form "
+    "h1 h2 h3 h4 h5 h6 header hr main menu nav ol p pre section table ul".split()
+)
+# tag -> set of open tags it implicitly closes (HTML5 tree-builder lite).
+_AUTOCLOSE = {
+    "li": frozenset(["li"]),
+    "tr": frozenset(["tr", "td", "th"]),
+    "td": frozenset(["td", "th"]),
+    "th": frozenset(["td", "th"]),
+    "dt": frozenset(["dt", "dd"]),
+    "dd": frozenset(["dt", "dd"]),
+    "option": frozenset(["option"]),
+}
+
+# -------------------------------------------- density thresholds (frozen)
+
+LINK_DENSITY_MAX = 0.50   # container above this is a link farm ...
+NONLINK_TEXT_MIN = 200    # ... unless it carries this much non-link text
+TABLE_LINK_DENSITY_MAX = 0.30  # layout-table cutoff when no <th>
+TABLE_MIN_CELL_CHARS = 2       # cells shorter than this are layout glue
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[object] = []  # Element | str
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant DOM builder: stray end tags ignored, unclosed tags
+    closed by ancestors, entities decoded (convert_charrefs=True is
+    stdlib-stable and deterministic). Handles fixture t08_malformed."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#root", {})
+        self.stack: list[Element] = [self.root]
+
+    # -- helpers
+    def _open(self, tag: str, attrs_list) -> None:
+        attrs = {}
+        for k, v in attrs_list:
+            if k not in attrs:  # first occurrence wins, deterministic
+                attrs[k.lower()] = v if v is not None else ""
+        if tag in _P_CLOSERS:
+            self._implicit_close(frozenset(["p"]))
+        if tag in _AUTOCLOSE:
+            self._implicit_close(_AUTOCLOSE[tag])
+        el = Element(tag, attrs)
+        self.stack[-1].children.append(el)
+        if tag not in VOID_TAGS:
+            self.stack.append(el)
+
+    def _implicit_close(self, closable: frozenset[str]) -> None:
+        if len(self.stack) > 1 and self.stack[-1].tag in closable:
+            self.stack.pop()
+
+    # -- HTMLParser hooks
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._open(tag.lower(), attrs)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        t = tag.lower()
+        self._open(t, attrs)
+        if t not in VOID_TAGS:  # self-closing non-void: pop right back
+            self.stack.pop()
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore (t08_malformed)
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_dom(text: str) -> Element:
+    b = _TreeBuilder()
+    b.feed(text)
+    b.close()
+    return b.root
+
+
+# ------------------------------------------------------------ pruning
+
+
+def _class_id_blob(el: Element) -> str:
+    return (el.attrs.get("class", "") + " " + el.attrs.get("id", "")).lower()
+
+
+def _subtree_stats(el: Element, in_link: bool = False) -> tuple[int, int, bool]:
+    """(text_chars, link_chars, has_th) over a subtree, skipping DROP_TAGS."""
+    text = link = 0
+    has_th = False
+    for ch in el.children:
+        if isinstance(ch, str):
+            n = len(ch.strip())
+            text += n
+            if in_link:
+                link += n
+        else:
+            if ch.tag in DROP_TAGS:
+                continue
+            t, l, h = _subtree_stats(ch, in_link or ch.tag == "a")
+            text += t
+            link += l
+            has_th = has_th or h or ch.tag == "th"
+    return text, link, has_th
+
+
+def _is_boilerplate(el: Element) -> bool:
+    if el.tag in BOILERPLATE_TAGS:
+        return True
+    blob = _class_id_blob(el)
+    if blob and STOPWORD_RE.search(" " + blob + " "):
+        return True
+    return False
+
+
+def _is_layout_table(el: Element) -> bool:
+    text, link, has_th = _subtree_stats(el)
+    if has_th:
+        return False
+    if text == 0:
+        return True
+    if link / text > TABLE_LINK_DENSITY_MAX:
+        return True
+    return False
+
+
+def _is_link_farm(el: Element) -> bool:
+    text, link, _ = _subtree_stats(el)
+    if text == 0:
+        return False
+    return (link / text > LINK_DENSITY_MAX) and (text - link) < NONLINK_TEXT_MIN
+
+
+# containers eligible for link-density pruning
+_DENSITY_TAGS = frozenset("div section ul ol dl menu".split())
+
+
+def prune(el: Element) -> None:
+    """In-place removal of non-content / boilerplate / linky subtrees.
+
+    Document-order traversal only (FIXTURES.md §5.4).
+    """
+    kept: list[object] = []
+    for ch in el.children:
+        if isinstance(ch, str):
+            kept.append(ch)
+            continue
+        if ch.tag in DROP_TAGS:
+            continue
+        if _is_boilerplate(ch):
+            continue
+        if ch.tag == "table" and _is_layout_table(ch):
+            continue
+        if ch.tag in _DENSITY_TAGS and _is_link_farm(ch):
+            continue
+        prune(ch)
+        kept.append(ch)
+    el.children = kept
+
+
+# ----------------------------------------------------------- sectioning
+
+_WS_RUN_RE = re.compile("[ \\t\\f\\v\\u00a0\\u200b\\u2009\\u202f]+")
+_NL_RUN_RE = re.compile(r"\n{3,}")
+
+
+def normalize_text(s: str) -> str:
+    """FIXTURES.md §5.1: NFC; \\n newlines; collapse space runs;
+    <=2 consecutive newlines; strip each line; strip the whole."""
+    s = unicodedata.normalize("NFC", s)
+    s = s.replace("\r\n", "\n").replace("\r", "\n")
+    s = _WS_RUN_RE.sub(" ", s)
+    lines = [ln.strip() for ln in s.split("\n")]
+    s = "\n".join(lines)
+    s = _NL_RUN_RE.sub("\n\n", s)
+    return s.strip()
+
+
+# kinds carried alongside each section so the chunkers (chunk.py) can
+# see structure without re-parsing: 'h1'..'h6' | 'p' | 'li' | 'row' | 'pre'
+_LEAFY_BLOCKS = HEADING_TAGS | frozenset(["p", "li", "pre", "blockquote", "figcaption", "dt", "dd"])
+
+
+def _inline_text(el: Element, parts: list[str]) -> None:
+    for ch in el.children:
+        if isinstance(ch, str):
+            parts.append(ch)
+        elif ch.tag == "br":
+            parts.append("\n")
+        elif ch.tag in BLOCK_TAGS:
+            # nested block inside a leafy block (t08): treat as break
+            parts.append("\n")
+            _inline_text(ch, parts)
+        else:
+            _inline_text(ch, parts)
+
+
+def _row_text(tr: Element) -> str:
+    cells = []
+    for ch in tr.children:
+        if isinstance(ch, Element) and ch.tag in ("td", "th"):
+            parts: list[str] = []
+            _inline_text(ch, parts)
+            cells.append(normalize_text("".join(parts)).replace("\n", " "))
+    return "\t".join(cells).strip("\t")
+
+
+def _emit_sections(el: Element, out: list[tuple[str, str]]) -> None:
+    """Walk the pruned tree; emit (kind, text) per block in doc order."""
+    pending: list[str] = []
+
+    def flush() -> None:
+        if pending:
+            txt = normalize_text("".join(pending))
+            pending.clear()
+            if txt:
+                out.append(("p", txt))
+
+    for ch in el.children:
+        if isinstance(ch, str):
+            pending.append(ch)
+            continue
+        tag = ch.tag
+        if tag == "br":
+            pending.append("\n")
+            continue
+        if tag == "tr":
+            flush()
+            row = _row_text(ch)
+            if row:
+                out.append(("row", row))
+            continue
+        if tag in _LEAFY_BLOCKS:
+            flush()
+            parts: list[str] = []
+            _inline_text(ch, parts)
+            txt = normalize_text("".join(parts))
+            if txt:
+                kind = tag if tag in HEADING_TAGS else ("pre" if tag == "pre" else ("li" if tag == "li" else "p"))
+                out.append((kind, txt))
+            continue
+        if tag in BLOCK_TAGS:
+            flush()
+            _emit_sections(ch, out)
+            continue
+        # inline element at container level: part of the running text
+        parts2: list[str] = []
+        _inline_text(ch, parts2)
+        pending.append("".join(parts2))
+    flush()
+
+
+def html_extract(data: bytes) -> tuple[list[tuple[str, str]], int, str]:
+    """bytes -> (sections [(kind, text)], parse_code, encoding).
+
+    Error-as-row: never raises (reference convention, SURVEY.md §2.4);
+    failures return empty sections + a failure code.
+    """
+    if not data or not bytes(data).strip():
+        return [], CODE_EMPTY_PAYLOAD, ""
+    try:
+        text, enc = decode_payload(bytes(data))
+        root = parse_dom(text)
+        prune(root)
+        sections: list[tuple[str, str]] = []
+        _emit_sections(root, sections)
+        if not sections:
+            # parseable but empty body (t09)
+            return [], CODE_EMPTY_PAYLOAD, enc
+        return sections, CODE_OK, enc
+    except Exception:
+        return [], CODE_HTML_PARSE_ERROR, ""

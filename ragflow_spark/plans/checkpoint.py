@@ -1,0 +1,92 @@
+"""Checkpoint-resume: the metrics table doubles as the manifest.
+
+Semantics (SURVEY.md §4.3, north_rule "resumable from checkpoint"):
+a split is complete iff (a) its extracted output committed and (b) its
+metrics row exists. Work proceeds in *waves* of splits; each wave is
+one Spark job that appends ``extracted/`` parquet partitioned by
+split_id and then appends the wave's metrics rows. A killed run
+re-parses at most one wave (wave_size=1 -> at most one split,
+BASELINE.md resume-overhead target); on a real cluster wave_size is
+sized to a full cluster of tasks and the two appends become a single
+Iceberg transaction.
+
+Resume = anti-join of splits against the manifest — plain DataFrame
+code, no custom source. The reference's analog is whole-state JSON
+serialization (reference agent/canvas.py:128-151); ours is
+partition-grain and idempotent (re-running a wave overwrites its
+split directories via dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ragflow_spark.plans.pipeline import (
+    DEFAULT_N_SPLITS,
+    DEFAULT_SALT_FACTOR,
+    assign_splits,
+    compute_hot_hosts,
+    extract_pages,
+    metrics_for,
+)
+
+
+def completed_splits(spark: SparkSession, out_dir: str) -> set[int]:
+    mpath = os.path.join(out_dir, "metrics")
+    try:
+        return {
+            r["split_id"]
+            for r in spark.read.parquet(mpath).select("split_id").distinct().collect()
+        }
+    except Exception:
+        return set()
+
+
+def run_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_splits: int = DEFAULT_N_SPLITS,
+    salt_factor: int = DEFAULT_SALT_FACTOR,
+    wave_size: int = 8,
+    budget: int = 256,
+    fail_after_waves: int | None = None,
+) -> None:
+    """Extract `pages` into out_dir/{extracted,metrics}, resumably.
+
+    ``fail_after_waves`` injects a crash for the kill-resume test.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    hot = compute_hot_hosts(pages)
+    staged = assign_splits(pages, n_splits, salt_factor, hot)
+    done = completed_splits(spark, out_dir)
+    todo = sorted(set(range(n_splits)) - done)
+    ex_path = os.path.join(out_dir, "extracted")
+    m_path = os.path.join(out_dir, "metrics")
+    waves = [todo[i : i + wave_size] for i in range(0, len(todo), wave_size)]
+    for w, wave in enumerate(waves):
+        subset = staged.filter(F.col("split_id").isin(wave))
+        extracted = extract_pages(subset, budget=budget, n_partitions=len(wave))
+        # idempotent per-split overwrite: re-running a half-written
+        # wave replaces exactly its split directories
+        (
+            extracted.write.mode("overwrite")
+            .partitionBy("split_id")
+            .parquet(ex_path)
+        )
+        done_extracted = spark.read.parquet(ex_path).filter(
+            F.col("split_id").isin(wave)
+        )
+        metrics_for(done_extracted, run_id).write.mode("append").parquet(m_path)
+        if fail_after_waves is not None and w + 1 >= fail_after_waves:
+            raise RuntimeError(f"injected failure after wave {w}")
+
+
+def read_outputs(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(os.path.join(out_dir, "extracted")),
+        spark.read.parquet(os.path.join(out_dir, "metrics")),
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local-mode testing stands in for the multi-executor cluster
+(BASELINE.md: local[8] vs local[32] proxies N vs 4N executors); the
+same conf block is what we'd pass to spark-submit on a real cluster.
+
+Conf rationale (SURVEY.md §4.2, §7.3.4):
+- AQE on: runtime partition coalescing + skew splitting; at 100 TB the
+  static shuffle-partition count is always wrong somewhere.
+- Arrow on + bounded maxRecordsPerBatch: html payloads are multi-MB
+  binaries; unbounded Arrow batches would hold GBs per task. 64 rows
+  x ~1 MB keeps peak per-task memory bounded.
+- maxPartitionBytes 64 MiB: binary-heavy scans split finer so a
+  1000-executor cluster has enough input splits to saturate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_MAX_RECORDS_PER_BATCH = 256
+
+
+def get_spark(
+    app_name: str = "ragflow_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 32)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # ship the package to python workers — the local-mode stand-in for
+    # `spark-submit --py-files ragflow_spark.zip` (north_rule)
+    from ragflow_spark.deploy import package_zip
+
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

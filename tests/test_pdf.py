@@ -1,0 +1,76 @@
+"""PDF kernel tests (fixtures p01-p05, FIXTURES.md §1.2)."""
+
+from ragflow_spark.kernels.pdfx import pdf_extract
+from ragflow_spark.kernels.sniff import (
+    CODE_OK,
+    CODE_PDF_ENCRYPTED,
+    CODE_PDF_TRUNCATED,
+)
+from ragflow_spark.sources.pdfgen import make_pdf, single_column_pdf, two_column_pdf
+
+
+def test_p01_single_column_reading_order():
+    paras = [f"paragraph {i} line of text" for i in range(10)]
+    pdf = single_column_pdf(paras)
+    sections, code = pdf_extract(pdf)
+    assert code == CODE_OK
+    texts = [t for _, t in sections]
+    assert texts == paras  # top-down order preserved
+
+
+def test_p01_multi_page():
+    paras = [f"line {i}" for i in range(90)]  # > 40 lines/page => 3 pages
+    sections, code = pdf_extract(single_column_pdf(paras))
+    assert code == CODE_OK
+    assert [t for _, t in sections] == paras
+
+
+def test_p02_two_columns_left_then_right():
+    left = [f"left {i}" for i in range(5)]
+    right = [f"right {i}" for i in range(5)]
+    sections, code = pdf_extract(two_column_pdf(left, right))
+    assert code == CODE_OK
+    assert [t for _, t in sections] == left + right
+
+
+def test_p03_header_footer_suppression():
+    paras = [f"body line {i}" for i in range(80)]  # 2 pages
+    pdf = single_column_pdf(paras, header="Repeated Header", footer="page N")
+    sections, code = pdf_extract(pdf)
+    assert code == CODE_OK
+    texts = [t for _, t in sections]
+    assert "Repeated Header" not in texts and "page N" not in texts
+    assert texts == paras
+
+
+def test_p04_truncated():
+    pdf = single_column_pdf(["some text here"] * 5)
+    sections, code = pdf_extract(pdf[: int(len(pdf) * 0.6)])
+    assert code == CODE_PDF_TRUNCATED and sections == []
+
+
+def test_p05_encrypted():
+    pdf = make_pdf([[(72.0, 700.0, "secret")]], encrypted=True)
+    sections, code = pdf_extract(pdf)
+    assert code == CODE_PDF_ENCRYPTED and sections == []
+
+
+def test_uncompressed_stream():
+    pdf = make_pdf([[(72.0, 700.0, "hello world")]], compress=False)
+    sections, code = pdf_extract(pdf)
+    assert code == CODE_OK
+    assert [t for _, t in sections] == ["hello world"]
+
+
+def test_escapes_in_strings():
+    pdf = make_pdf([[(72.0, 700.0, "paren (x) and \\ slash")]])
+    sections, code = pdf_extract(pdf)
+    assert code == CODE_OK
+    assert sections[0][1] == "paren (x) and \\ slash"
+
+
+def test_determinism():
+    pdf1 = single_column_pdf(["a b c"] * 3, header="H", footer="F")
+    pdf2 = single_column_pdf(["a b c"] * 3, header="H", footer="F")
+    assert pdf1 == pdf2
+    assert pdf_extract(pdf1) == pdf_extract(pdf2)
