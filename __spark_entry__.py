@@ -3,36 +3,78 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in ``ragflow_spark.operators.*`` (each cites the
+reference behavior it re-expresses); this module only exposes the
+registry. Column aliases match between Spark and SQL by construction
+(see ragflow_spark/operators/registry.py docstring).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Ship the package zip to python workers (idempotent)."""
+    from ragflow_spark.deploy import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this context
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full extraction pipeline at sf0.001 — synthesize
+    Common-Crawl-style pages from documents.parquet, run the
+    vectorized extract, return per-url results with chunk counts."""
+    _prepare(spark)
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.plans.pipeline import (
+        assign_splits,
+        compute_hot_hosts,
+        extract_pages,
+    )
+    from ragflow_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+    hot = compute_hot_hosts(pages)
+    staged = assign_splits(pages, n_splits=32, salt_factor=8, hot_hosts=hot)
+    ex = extract_pages(staged)
+    return ex.select(
+        "url",
+        "content_type",
+        "parse_status",
+        "parse_code",
+        "n_sections",
+        F.size(F.coalesce("chunks", F.array())).alias("n_chunks"),
+        F.length(F.coalesce("extracted_text", F.lit(""))).alias("n_chars"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import ragflow_spark.operators as ops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in ops.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import ragflow_spark.operators as ops
+
+    return dict(ops.ORACLES)

@@ -1,0 +1,113 @@
+"""Spark-native analytical queries over the star schema.
+
+Beyond reference parity (SURVEY.md §2.6 notes the reference has no
+joins/aggregations to speak of) — these demonstrate the engine's
+scale path: broadcast dims, partial aggregation, top-k without a full
+sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators.registry import register, table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single scan, map-side partial agg, 4-group
+    result. The filter and the two needed columns push down to the
+    parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+    SELECT o_orderkey, c_mktsegment,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+    GROUP BY o_orderkey, c_mktsegment
+    ORDER BY revenue DESC, o_orderkey LIMIT 20
+    """,
+)
+def top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k. customer is the small
+    side -> broadcast; top-k via TakeOrderedAndProject (no full sort).
+    Deterministic tiebreak on o_orderkey."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name, r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem, orders, customer, nation, region
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join chain. All dims broadcast; the
+    only shuffles are lineitem⋈orders and the final small groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

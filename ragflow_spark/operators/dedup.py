@@ -1,0 +1,257 @@
+"""Deduplication operators over the documents table (round brief:
+exact, MinHash+LSH, n-gram Jaccard, SimHash).
+
+Scale design: every variant is shuffle-on-a-small-key. Exact dedup
+shuffles on a 16-byte digest, never the text. MinHash LSH shuffles on
+(band, bucket) — the classic shingle→minhash→band→bucket-join; at
+100 TB the bucket join replaces the O(n²) pair space with only
+colliding candidates. Signatures are md5-based so the DuckDB oracle
+can reproduce them bit-for-bit (xxhash64 differs between engines).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators.registry import register, table
+
+N_HASHES = 8  # minhash signature length
+N_BANDS = 4  # bands of r=2 rows each
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dupes
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content digest + hash aggregate. The groupBy
+    key is md5(text) (16 bytes), not the document — at 100 TB the
+    shuffle moves digests, not payloads."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+def _spark_shingles(text_col):
+    """3-word shingles as an array column (no UDF)."""
+    words = F.split(F.lower(text_col), " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+
+
+def _spark_minhash(shingles_col, seed: int):
+    return F.array_min(
+        F.transform(shingles_col, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+    )
+
+
+_DUCK_SHINGLES = (
+    "list_transform(range(len(w) - 2), "
+    "i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])"
+)
+
+
+def _duck_sig_cols() -> str:
+    return ",\n".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{k}'))) AS h{k}"
+        for k in range(N_HASHES)
+    )
+
+
+def _duck_bands_union() -> str:
+    parts = []
+    for b in range(N_BANDS):
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bucket FROM sig"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents
+    ), sh_t AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM docs WHERE len(w) >= 3
+    ), sig AS (
+      SELECT doc_id, {_duck_sig_cols()} FROM sh_t
+    ), bands AS ({_duck_bands_union()})
+    SELECT band, bucket, count(*) AS n_docs
+    FROM bands GROUP BY band, bucket HAVING count(*) >= 2
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle -> 8-hash minhash
+    signature -> 4 bands x 2 rows -> bucket collisions (round brief).
+    Output = colliding (band, bucket) groups; the pair join happens in
+    `neardup_jaccard`. All generator expressions — zero UDFs."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    sh = d.filter(F.size(words) >= 3).select(
+        "doc_id", _spark_shingles(F.col("text")).alias("sh")
+    )
+    sig = sh.select(
+        "doc_id",
+        *[_spark_minhash(F.col("sh"), k).alias(f"h{k}") for k in range(N_HASHES)],
+    )
+    bands = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    allb = reduce(lambda a, b: a.unionByName(b), bands)
+    return (
+        allb.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "neardup_jaccard",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents
+    ), sh_t AS (
+      SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+      FROM docs WHERE len(w) >= 3
+    ), sig AS (
+      SELECT doc_id, sh, {_duck_sig_cols()} FROM sh_t
+    ), bands AS (
+      SELECT s.doc_id, b.band, md5(CASE b.band
+          WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+          WHEN 2 THEN h4 || h5 ELSE h6 || h7 END) AS bucket
+      FROM sig s, (SELECT unnest(range(4)) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                 greatest(len(x.sh) + len(y.sh)
+                          - len(list_intersect(x.sh, y.sh)), 1), 4) AS jaccard
+    FROM cand JOIN sh_t x ON cand.doc_a = x.doc_id
+              JOIN sh_t y ON cand.doc_b = y.doc_id
+    """,
+)
+def neardup_jaccard(spark, sf_dir):
+    """n-gram Jaccard verification of LSH candidates: bucket-join
+    produces candidate pairs; exact Jaccard on distinct shingle sets
+    confirms. The join key is the 16-byte bucket, the pair space is
+    only collisions — the 100 TB-safe shape of near-dup detection."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    sh = d.filter(F.size(words) >= 3).select(
+        "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
+    )
+    sig = sh.select(
+        "doc_id",
+        "sh",
+        *[_spark_minhash(F.col("sh"), k).alias(f"h{k}") for k in range(N_HASHES)],
+    )
+    bands = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    allb = reduce(lambda a, b: a.unionByName(b), bands)
+    a = allb.alias("a")
+    b = allb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter * F.lit(1.0) / F.greatest(union, F.lit(1)), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@register("dedup_simhash")  # no SQL oracle: 64-bit bit-twiddling agg
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup signatures via a vectorized pandas UDF (numpy
+    bit ops over Arrow batches — the genuinely non-SQL op, driver
+    records the weaker rows-only check). 64-bit signature from md5 of
+    each word; groups by 16-bit bands for candidate detection."""
+    def simhash_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf["text"]):
+                words = (t or "").lower().split()
+                if not words:
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
+                for w in words:
+                    h = np.uint64(
+                        int.from_bytes(
+                            hashlib.md5(w.encode()).digest()[:8], "big"
+                        )
+                    )
+                    bits = (h >> shifts) & np.uint64(1)
+                    acc += np.where(bits == 1, 1, -1)
+                sig = 0
+                for b in range(64):
+                    if acc[b] > 0:
+                        sig |= 1 << b
+                out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": out})
+
+    d = table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", "text").mapInPandas(
+        simhash_batches, schema="doc_id bigint, sig bigint"
+    )
+    band = F.expr("(sig >> 48) & 65535")
+    return (
+        sigs.select("doc_id", "sig", band.alias("band16"))
+        .groupBy("band16")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1,0 +1,99 @@
+"""Event-stream operators over the events table.
+
+The reference has no true stream operators (SURVEY.md §2.5 note:
+'streaming' there is LLM token streaming); these are the Spark-native
+batch equivalents of the standard stream shapes — tumbling-window
+aggregation and gap-based sessionization — which
+ragflow_spark.streaming re-skins over readStream with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ragflow_spark.operators.registry import register, table
+
+SESSION_GAP_SECONDS = 1800
+
+
+@register(
+    "windowed_event_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark, sf_dir):
+    """Tumbling 1-hour window counts per event type. Batch form of
+    `groupBy(window('ts', '1 hour'), ...)` — same plan shape as the
+    Structured Streaming version in ragflow_spark.streaming."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, count(*) AS n_events FROM numbered
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+           max(n_events) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of session starts — gaps-and-islands, all window functions.
+    Note events at one timestamp tie-break by event_id on both sides."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > SESSION_GAP_SECONDS),
+        1,
+    ).otherwise(0)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = e.select(
+        "user_id", "event_id", "ts", new_session.alias("new_session")
+    ).withColumn("session_id", F.sum("new_session").over(w2))
+    per_session = numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )

@@ -1,0 +1,251 @@
+"""The reference's relational operator core on Spark (SURVEY.md §2.1-2.3).
+
+Each operator cites the reference site it re-expresses; each is pure
+DataFrame API (Catalyst-optimizable, no UDFs). Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ragflow_spark.functions.predicates import switch_predicate, switch_route
+from ragflow_spark.operators.registry import register, table
+
+
+@register(
+    "union_dedup",
+    oracle="""
+    SELECT DISTINCT content, src FROM (
+      SELECT c_name AS content, 'customer' AS src FROM customer
+      UNION ALL
+      SELECT s_name AS content, 'supplier' AS src FROM supplier
+    )
+    """,
+)
+def union_dedup(spark, sf_dir):
+    """F4 `get_input`: concat upstream outputs + drop_duplicates on
+    content (reference agent/component/base.py:472-474,507-509), with
+    the per-upstream component_id tag (base.py:485,501).
+
+    Scale: dropDuplicates = hash aggregate; at 100 TB prefer
+    dropDuplicates over distinct-on-all-columns so the shuffle key is
+    just the content hash."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("content"), F.lit("customer").alias("src")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("content"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s).dropDuplicates(["content", "src"])
+
+
+@register(
+    "contains_filter",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
+    """,
+)
+def contains_filter(spark, sf_dir):
+    """S15 TuShare keyword filter: `str.contains(kw, case=False)`
+    (reference agent/component/tushare.py:65). Predicate is pushed to
+    the parquet scan by Catalyst (no UDF)."""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.filter(low.contains("spark") & low.contains("join")).select(
+        "doc_id", "n_chars"
+    )
+
+
+@register(
+    "switch_predicates",
+    oracle="""
+    SELECT route, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM (
+      SELECT o_totalprice,
+        CASE
+          WHEN try_cast(o_totalprice AS DOUBLE) > 200000.0 THEN 'high'
+          WHEN lower(o_orderpriority) LIKE '1%' THEN 'urgent'
+          WHEN contains(lower(o_orderpriority), 'low') THEN 'low'
+          WHEN o_orderstatus = 'F' THEN 'finished'
+          ELSE 'default'
+        END AS route
+      FROM orders
+    ) GROUP BY route
+    """,
+)
+def switch_predicates(spark, sf_dir):
+    """C3 Switch router (reference agent/component/switch.py:20-129):
+    first condition-group that passes wins; predicates are the
+    reference's full operator set (contains / start with / = /
+    numeric-with-string-fallback >). Compiled to one when/otherwise
+    projection — Catalyst constant-folds and pipelines it; routing
+    never materializes intermediate tables (unlike the reference's
+    per-component DataFrames)."""
+    o = table(spark, sf_dir, "orders")
+    route = switch_route(
+        [
+            (switch_predicate(F.col("o_totalprice"), ">", "200000"), "high"),
+            (switch_predicate(F.col("o_orderpriority"), "start with", "1"), "urgent"),
+            (switch_predicate(F.col("o_orderpriority"), "contains", "low"), "low"),
+            (switch_predicate(F.col("o_orderstatus"), "=", "F"), "finished"),
+        ],
+        default="default",
+    )
+    return (
+        o.withColumn("route", route)
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+@register(
+    "top_n_limit",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o_totalprice, 4) AS total
+    FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 50
+    """,
+)
+def top_n_limit(spark, sf_dir):
+    """top_n source limits (reference agent/component/akshare.py:47,
+    exesql.py:119-123 fetchmany(top_n)) — ordered-before-limit so the
+    result is deterministic (FIXTURES.md §4).
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — a
+    per-partition top-k then a driver merge of k·P rows, never a full
+    sort."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 4).alias("total"),
+        )
+    )
+
+
+@register(
+    "split_explode",
+    oracle="""
+    SELECT p_partkey, i - 1 AS pos, u AS word
+    FROM (
+      SELECT p_partkey,
+             unnest(str_split(p_type, ' ')) AS u,
+             generate_subscripts(str_split(p_type, ' '), 1) AS i
+      FROM part
+    )
+    """,
+)
+def split_explode(spark, sf_dir):
+    """C7/C8 Iteration + IterationItem: split parent input by
+    delimiter, iterate items with an index cursor (reference
+    agent/component/iteration.py:20-44, iterationitem.py:29-52).
+    Spark-first: split + posexplode — the whole 'sub-graph per item'
+    machinery collapses into one generator expression."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_type"), " ")).alias("pos", "word"),
+    )
+
+
+@register(
+    "argmax_count",
+    oracle="""
+    SELECT o_custkey, priority, n FROM (
+      SELECT o_custkey, priority, n,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY n DESC, priority
+             ) AS rn
+      FROM (
+        SELECT o_custkey, o_orderpriority AS priority, count(*) AS n
+        FROM orders GROUP BY o_custkey, o_orderpriority
+      )
+    ) WHERE rn = 1
+    """,
+)
+def argmax_count(spark, sf_dir):
+    """C4 Categorize count+argmax (reference agent/component/
+    categorize.py:94-106: count occurrences per category, max wins;
+    ties resolved deterministically — we pin lexicographic order).
+
+    Scale: two-level aggregate; the window runs on the already-reduced
+    (custkey, priority) pairs, not raw rows, so state is tiny."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey", F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("n"), F.asc("priority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "priority", "n")
+    )
+
+
+@register(
+    "multirow_fold",
+    oracle="""
+    SELECT n_name, string_agg(c_name, chr(10) ORDER BY c_name) AS folded,
+           count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def multirow_fold(spark, sf_dir):
+    """F7 multi-row fold: '\\n'.join(content) when an input has >1 row
+    (reference agent/component/base.py:460-467). Sorted within group
+    so the fold is deterministic.
+
+    Scale: nation is tiny -> broadcast join, no shuffle on the fact
+    side until the final groupBy."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), "\n").alias(
+                "folded"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "error_as_row",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_error,
+           sum(coalesce(k, -1)) AS sum_k
+    FROM (
+      SELECT event_type,
+             try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ) GROUP BY event_type
+    """,
+)
+def error_as_row(spark, sf_dir):
+    """Error-as-row convention (reference agent/component/baidu.py:70-71:
+    failures become content rows, never exceptions): failed casts stay
+    in the table as coded rows and are counted, not dropped — the same
+    discipline the extraction pipeline applies to parse failures."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_error"),
+            F.sum(F.coalesce(F.col("k"), F.lit(-1))).alias("sum_k"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over the embeddings table (round brief:
+brute-force cosine top-k baseline + LSH-bucketed scale path).
+
+The brute-force path is the correctness baseline (exact top-k); the
+sign-LSH path is the 100 TB shape: bucket vectors by hyperplane signs
+so the candidate set for a query is one bucket join, not a full scan.
+Hyperplanes are md5-derived ±1 vectors so the DuckDB oracle can
+reproduce the buckets exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators.registry import register, table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding, q.qe), 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos DESC, e.vec_id LIMIT {TOP_K}
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the 1-row query side, dot
+    product via zip_with/aggregate (JVM-side, no UDF), top-k via
+    TakeOrderedAndProject. At 100 TB this is the exact-answer scan
+    path; `ann_lsh_bucketed` is the sublinear one."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    joined = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    cos = dot(F.col("embedding"), F.col("qe")) / (
+        norm(F.col("embedding")) * norm(F.col("qe"))
+    )
+    return (
+        joined.select("vec_id", "label", F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH planes2 AS (
+      SELECT k, list_transform(range({DIM}), d -> CASE WHEN
+        strpos('02468ace', substr(md5('plane-' || k || '-' || d), 1, 1)) > 0
+        THEN 1.0 ELSE -1.0 END) AS p
+      FROM (SELECT unnest(range({N_PLANES})) AS k)
+    ), bits AS (
+      SELECT e.vec_id, p2.k,
+        CASE WHEN list_sum(list_transform(range({DIM}),
+             d -> e.embedding[d+1] * p2.p[d+1])) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM embeddings e, planes2 p2
+    ), buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY k) AS bucket FROM bits
+      GROUP BY vec_id
+    )
+    SELECT bucket, count(*) AS n_vecs FROM buckets
+    GROUP BY bucket HAVING count(*) >= 2
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-LSH bucketing for ANN: 8 md5-derived ±1 hyperplanes; the
+    bucket is the 8-bit sign pattern of the dot products. Query-time
+    ANN = join on bucket (plus neighbor buckets for recall) instead of
+    scanning all vectors. Output = bucket histogram (buckets holding
+    >= 2 vectors)."""
+    e = table(spark, sf_dir, "embeddings")
+    bit_cols = []
+    for k in range(N_PLANES):
+        plane = F.expr(
+            f"transform(sequence(0, {DIM - 1}), d -> CASE WHEN "
+            f"locate(substr(md5(concat('plane-{k}-', cast(d as string))), 1, 1), "
+            f"'02468ace') > 0 THEN cast(1.0 as double) "
+            f"ELSE cast(-1.0 as double) END)"
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), plane, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bucket = F.concat(*bit_cols)
+    return (
+        e.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") >= 2)
+    )

@@ -1,0 +1,196 @@
+"""Text-analysis operators over the documents table (round brief:
+language-ID, quality scoring, token counting, fingerprinting) plus a
+deterministic reimplementation of the reference's KeywordExtract shape
+(L2, reference agent/component/keyword.py:24-72 — LLM replaced by tf
+top-n, which is the testable dataflow)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators.registry import register, table
+
+# BPE-ish token pattern: word runs | single CJK | punctuation glyph —
+# same class of regex both engines support identically.
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# tiny deterministic stopword sets for the language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+    "fr": ["le", "les", "des"],
+}
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS total_tokens,
+           round(avg(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))), 4)
+             AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def token_count(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex, round brief; the
+    reference's analog is rag.utils.num_tokens_from_string used at
+    agent/component/relevant.py:68-69 [NOT IN CHECKOUT]). JVM-side
+    regexp_count — no Python in the hot path."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_count(F.col("text"), F.lit(TOKEN_PATTERN))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+    )
+
+
+def _marker_count_sql(lang: str) -> str:
+    terms = _LANG_MARKERS[lang]
+    return " + ".join(
+        f"len(regexp_extract_all(' ' || lower(text) || ' ', '[ ]{t}[ ]'))"
+        for t in terms
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT guess, count(*) AS n FROM (
+      SELECT CASE
+        WHEN {_marker_count_sql('en')} >= {_marker_count_sql('de')}
+         AND {_marker_count_sql('en')} >= {_marker_count_sql('es')}
+         AND {_marker_count_sql('en')} >= {_marker_count_sql('fr')}
+         AND {_marker_count_sql('en')} > 0 THEN 'en'
+        WHEN {_marker_count_sql('de')} >= {_marker_count_sql('es')}
+         AND {_marker_count_sql('de')} >= {_marker_count_sql('fr')}
+         AND {_marker_count_sql('de')} > 0 THEN 'de'
+        WHEN {_marker_count_sql('es')} >= {_marker_count_sql('fr')}
+         AND {_marker_count_sql('es')} > 0 THEN 'es'
+        WHEN {_marker_count_sql('fr')} > 0 THEN 'fr'
+        ELSE 'und' END AS guess
+      FROM documents
+    ) GROUP BY guess
+    """,
+)
+def lang_id(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic (round brief). Pure
+    Column expressions; ties broken by fixed priority en>de>es>fr."""
+    d = table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def count_markers(lang):
+        c = None
+        for t in _LANG_MARKERS[lang]:
+            cnt = F.regexp_count(padded, F.lit(f"[ ]{t}[ ]"))
+            c = cnt if c is None else c + cnt
+        return c
+
+    en, de, es, fr = (count_markers(x) for x in ("en", "de", "es", "fr"))
+    guess = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return d.select(guess.alias("guess")).groupBy("guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+    SELECT bucket, count(*) AS n, round(avg(score), 4) AS avg_score FROM (
+      SELECT CASE WHEN score >= 0.5 THEN 'good'
+                  WHEN score >= 0.25 THEN 'fair' ELSE 'poor' END AS bucket,
+             score
+      FROM (
+        SELECT round(
+            0.4 * least(len(str_split(text, ' ')) / 400.0, 1.0)
+          + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                     * 1.0 / greatest(length(text), 1), 1.0))
+          + 0.3 * least(len(regexp_extract_all(' ' || lower(text) || ' ',
+                     '[ ](the|and|of|a|to)[ ]')) * 10.0
+                     / greatest(len(str_split(text, ' ')), 1), 1.0)
+        , 4) AS score
+        FROM documents
+      )
+    ) GROUP BY bucket
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Quality scoring from length / punctuation / stopword ratios
+    (round brief; weights frozen). All arithmetic in Column ops."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = F.size(F.split(text, " "))
+    len_score = F.least(n_words / F.lit(400.0), F.lit(1.0))
+    punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9 ]"))
+    punct_score = F.lit(1.0) - F.least(
+        punct * F.lit(1.0) / F.greatest(F.length(text), F.lit(1)), F.lit(1.0)
+    )
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop = F.regexp_count(padded, F.lit(r"[ ](the|and|of|a|to)[ ]"))
+    stop_score = F.least(
+        stop * F.lit(10.0) / F.greatest(n_words, F.lit(1)), F.lit(1.0)
+    )
+    score = F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * punct_score + F.lit(0.3) * stop_score,
+        4,
+    )
+    bucket = (
+        F.when(score >= 0.5, "good").when(score >= 0.25, "fair").otherwise("poor")
+    )
+    return (
+        d.select(score.alias("score"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("score"), 4).alias("avg_score"))
+    )
+
+
+@register(
+    "fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id LIMIT 100
+    """,
+)
+def fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-normalized lowercase
+    text (round brief; reference uses md5 signatures at
+    agent/component/baidufanyi.py:73,84)."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.select("doc_id", fp.alias("fp")).orderBy("doc_id").limit(100)
+
+
+@register(
+    "keyword_topn",
+    oracle="""
+    SELECT word, n FROM (
+      SELECT word, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+      FROM (SELECT unnest(str_split(lower(text), ' ')) AS word FROM documents)
+      WHERE length(word) > 3
+      GROUP BY word
+    ) WHERE rn <= 20
+    """,
+)
+def keyword_topn(spark, sf_dir):
+    """L2 KeywordExtract dataflow with the LLM swapped for
+    deterministic term frequency (reference agent/component/
+    keyword.py:24-72; SURVEY.md §2.5 'fixture version = deterministic
+    tf top-n'). Explode -> count -> global top-20, ties by word."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") > 3)
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.desc("n"), F.asc("word")).limit(20).select("word", "n")
+    )
