@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Bench harness (driver contract).
+
+Runs the flagship extraction pipeline plus headline registry queries at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"extract": sec, ...}, "sf": 0.1,
+     "docs_per_sec": ..., "mb_per_sec": ...}
+
+The extraction input is a deterministic pages table synthesized once
+from the driver's ``documents.parquet`` (sources/pages.py) and cached
+as parquet under ``.bench/`` so the timed job is the real workload —
+parquet scan -> split assignment -> vectorized extract — not payload
+synthesis. ``SPARK_GRAFT_BENCH_REPEAT`` tiles the documents table for
+more load (default 24 -> ~120k pages at sf0.1).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+SPARK_GRAFT_BENCH_REPEAT, SPARK_GRAFT_BENCH_SKIP_QUERIES=1 (extraction
+only — used by bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Headline registry queries (one per operator family; the rest run in
+# the driver's correctness pass, no need to re-time all 26 here).
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "dedup_minhash_lsh",
+    "cosine_topk",
+    "sessionize",
+    "lang_id",
+]
+
+
+def _noop_write(df) -> None:
+    """Fully materialize a DataFrame without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def pages_parquet(spark, sf_dir: str, repeat: int) -> str:
+    """Synthesize-once cache of the deterministic pages table."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(REPO, ".bench", f"pages_{tag}_r{repeat}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ragflow_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, sf_dir, repeat=repeat)
+        # repartition so the cache has enough input splits for local[32]
+        pages.repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_extraction(spark, sf_dir: str, repeat: int, cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.plans.pipeline import (
+        assign_splits,
+        compute_hot_hosts,
+        extract_pages,
+    )
+
+    path = pages_parquet(spark, sf_dir, repeat)
+    pages = spark.read.parquet(path)
+    hot = compute_hot_hosts(pages)  # cheap url-only pre-pass, untimed
+
+    t0 = time.perf_counter()
+    staged = assign_splits(
+        pages, n_splits=max(64, cores * 4), salt_factor=8, hot_hosts=hot
+    )
+    ex = extract_pages(staged)
+    row = ex.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum((F.col("parse_status") == "ok").cast("long")).alias("ok"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    return {
+        "wall_s": wall,
+        "docs": int(row["docs"]),
+        "ok": int(row["ok"]),
+        "bytes_in": int(row["bytes_in"]),
+        "docs_per_sec": row["docs"] / wall,
+        "mb_per_sec": row["bytes_in"] / 1e6 / wall,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "24"))
+    skip_queries = os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1"
+
+    from ragflow_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+
+    timings: dict[str, float] = {}
+
+    ext = bench_extraction(spark, sf_dir, repeat, cores)
+    timings["extract"] = round(ext["wall_s"], 3)
+
+    if not skip_queries:
+        import ragflow_spark.operators as ops
+
+        for name in HEADLINE_QUERIES:
+            fn = ops.QUERIES[name]
+            t0 = time.perf_counter()
+            _noop_write(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cores": cores,
+        "extract_docs": ext["docs"],
+        "extract_ok": ext["ok"],
+        "extract_mb_in": round(ext["bytes_in"] / 1e6, 2),
+        "docs_per_sec": round(ext["docs_per_sec"], 1),
+        "mb_per_sec": round(ext["mb_per_sec"], 2),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

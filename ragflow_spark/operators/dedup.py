@@ -11,8 +11,6 @@ can reproduce them bit-for-bit (xxhash64 differs between engines).
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import functions as F
 
 from ragflow_spark.operators.registry import register, table
@@ -56,9 +54,39 @@ def _spark_shingles(text_col):
     )
 
 
-def _spark_minhash(shingles_col, seed: int):
+def _spark_shingle_digests(shingles_col):
+    """md5 hex digest per shingle — computed ONCE; the 8 minhash
+    values are 4-hex-char (16-bit) slices of this digest, so the md5
+    work per shingle is 1 hash, not N_HASHES hashes (8x less CPU at
+    100 TB). Lexicographic min over lowercase hex == numeric min."""
+    return F.transform(shingles_col, lambda s: F.md5(s))
+
+
+def _spark_minhash_slice(digests_col, k: int):
     return F.array_min(
-        F.transform(shingles_col, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+        F.transform(digests_col, lambda h: F.substring(h, 1 + 4 * k, 4))
+    )
+
+
+def _explode_bands(sig):
+    """(band, bucket) rows from a signature row in ONE pass.
+
+    An explode of a literal band array evaluates the 8 minhash columns
+    once per row; the naive 4-way union re-evaluates the whole
+    signature expression per band (4x the md5 work at 100 TB)."""
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
@@ -70,7 +98,7 @@ _DUCK_SHINGLES = (
 
 def _duck_sig_cols() -> str:
     return ",\n".join(
-        f"list_min(list_transform(sh, s -> md5(s || '#{k}'))) AS h{k}"
+        f"list_min(list_transform(hs, h -> substring(h, {1 + 4 * k}, 4))) AS h{k}"
         for k in range(N_HASHES)
     )
 
@@ -91,8 +119,10 @@ def _duck_bands_union() -> str:
       SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents
     ), sh_t AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM docs WHERE len(w) >= 3
+    ), dig AS (
+      SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh_t
     ), sig AS (
-      SELECT doc_id, {_duck_sig_cols()} FROM sh_t
+      SELECT doc_id, {_duck_sig_cols()} FROM dig
     ), bands AS ({_duck_bands_union()})
     SELECT band, bucket, count(*) AS n_docs
     FROM bands GROUP BY band, bucket HAVING count(*) >= 2
@@ -104,23 +134,18 @@ def dedup_minhash_lsh(spark, sf_dir):
     Output = colliding (band, bucket) groups; the pair join happens in
     `neardup_jaccard`. All generator expressions — zero UDFs."""
     d = table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = F.split(F.lower(F.col("text")), " ")
     sh = d.filter(F.size(words) >= 3).select(
         "doc_id", _spark_shingles(F.col("text")).alias("sh")
     )
     sig = sh.select(
+        "doc_id", _spark_shingle_digests(F.col("sh")).alias("hs")
+    ).select(
         "doc_id",
-        *[_spark_minhash(F.col("sh"), k).alias(f"h{k}") for k in range(N_HASHES)],
+        *[_spark_minhash_slice(F.col("hs"), k).alias(f"h{k}") for k in range(N_HASHES)],
     )
-    bands = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bucket"),
-        )
-        for b in range(N_BANDS)
-    ]
-    allb = reduce(lambda a, b: a.unionByName(b), bands)
+    allb = _explode_bands(sig)
     return (
         allb.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -136,8 +161,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     ), sh_t AS (
       SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
       FROM docs WHERE len(w) >= 3
+    ), dig AS (
+      SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM sh_t
     ), sig AS (
-      SELECT doc_id, sh, {_duck_sig_cols()} FROM sh_t
+      SELECT doc_id, sh, {_duck_sig_cols()} FROM dig
     ), bands AS (
       SELECT s.doc_id, b.band, md5(CASE b.band
           WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
@@ -162,24 +189,19 @@ def neardup_jaccard(spark, sf_dir):
     confirms. The join key is the 16-byte bucket, the pair space is
     only collisions — the 100 TB-safe shape of near-dup detection."""
     d = table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = F.split(F.lower(F.col("text")), " ")
     sh = d.filter(F.size(words) >= 3).select(
         "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
     )
     sig = sh.select(
+        "doc_id", "sh", _spark_shingle_digests(F.col("sh")).alias("hs")
+    ).select(
         "doc_id",
         "sh",
-        *[_spark_minhash(F.col("sh"), k).alias(f"h{k}") for k in range(N_HASHES)],
+        *[_spark_minhash_slice(F.col("hs"), k).alias(f"h{k}") for k in range(N_HASHES)],
     )
-    bands = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bucket"),
-        )
-        for b in range(N_BANDS)
-    ]
-    allb = reduce(lambda a, b: a.unionByName(b), bands)
+    allb = _explode_bands(sig)
     a = allb.alias("a")
     b = allb.alias("b")
     cand = (
