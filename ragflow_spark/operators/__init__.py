@@ -11,6 +11,7 @@ from ragflow_spark.operators import (  # noqa: F401
     dedup,
     events,
     extraction,
+    multimodal,
     relational,
     similarity,
     textops,

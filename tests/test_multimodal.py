@@ -1,0 +1,80 @@
+"""Media kernel unit tests (pure numpy, no Spark) + stub behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ragflow_spark.kernels.media import (
+    DECODE_EMPTY,
+    DECODE_OK,
+    DECODE_REAL_CODEC_UNAVAILABLE,
+    DECODE_TRUNCATED,
+    DECODE_UNKNOWN_FORMAT,
+    decode_media,
+    decode_real_image,
+    encode_media,
+    media_params_for,
+    sample_frames,
+    thumbnail_2x,
+)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 7, 35, 996, 997, 12345])
+def test_encode_decode_roundtrip(doc_id):
+    m = decode_media(encode_media(doc_id))
+    p = media_params_for(doc_id)
+    assert m.decode_code == DECODE_OK
+    assert m.media_type == p["kind"]
+    if p["kind"] == "image":
+        assert (m.width, m.height) == (p["width"], p["height"])
+        assert m.payload.shape == (p["height"], p["width"])
+    elif p["kind"] == "video":
+        assert m.n_frames == p["n_frames"]
+        assert m.payload.shape == (p["n_frames"], p["height"], p["width"])
+    else:
+        assert m.n_samples == p["n_samples"]
+        assert m.payload.shape == (p["n_samples"],)
+
+
+def test_determinism():
+    assert encode_media(42) == encode_media(42)
+
+
+def test_error_as_row_codes():
+    assert decode_media(None).decode_code == DECODE_EMPTY
+    assert decode_media(b"").decode_code == DECODE_EMPTY
+    assert decode_media(b"garbage!").decode_code == DECODE_UNKNOWN_FORMAT
+    truncated = encode_media(0)[:-5]
+    assert decode_media(truncated).decode_code == DECODE_TRUNCATED
+    # real codec magic -> coded row, not an exception
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    m = decode_media(png)
+    assert m.media_type == "png"
+    assert m.decode_code == DECODE_REAL_CODEC_UNAVAILABLE
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_thumbnail_block_mean():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    th = thumbnail_2x(img)
+    assert th.shape == (2, 2)
+    # block (0,0) = mean(0,1,4,5) floor = 2
+    assert th[0, 0] == 2
+    assert th[1, 1] == (10 + 11 + 14 + 15) // 4
+    # odd dims: trailing row/col dropped
+    odd = np.ones((5, 3), dtype=np.uint8)
+    assert thumbnail_2x(odd).shape == (2, 1)
+    tiny = np.ones((1, 1), dtype=np.uint8)
+    assert thumbnail_2x(tiny).shape == (1, 1)
+
+
+def test_sample_frames():
+    vid = np.arange(7 * 2 * 2, dtype=np.uint8).reshape(7, 2, 2)
+    s = sample_frames(vid, every=3)
+    assert s.shape[0] == 3  # frames 0, 3, 6
+    assert (s[0] == vid[0]).all() and (s[2] == vid[6]).all()
