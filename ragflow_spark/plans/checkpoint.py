@@ -60,7 +60,7 @@ def run_resumable(
     ``fail_after_waves`` injects a crash for the kill-resume test.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    hot = compute_hot_hosts(pages)
+    hot = compute_hot_hosts(pages, n_splits=n_splits)
     staged = assign_splits(pages, n_splits, salt_factor, hot)
     done = completed_splits(spark, out_dir)
     todo = sorted(set(range(n_splits)) - done)

@@ -59,48 +59,86 @@ def host_of(col):
     return F.regexp_extract(col, _HOST_RE, 1)
 
 
-def compute_hot_hosts(pages: DataFrame, fraction: float = HOT_HOST_FRACTION) -> list[str]:
-    """Cheap pre-pass: hosts owning more than `fraction` of pages.
+def compute_hot_hosts(
+    pages: DataFrame,
+    fraction: float = HOT_HOST_FRACTION,
+    n_splits: int | None = None,
+) -> dict[str, int]:
+    """Cheap pre-pass: per-host salt factors, SIZE-PROPORTIONAL.
 
     Reads only the url column (column pruning keeps the scan tiny even
-    when html is TBs). Deterministic for a given input."""
+    when html is TBs). A host whose page share exceeds one split's
+    fair share (1/n_splits, floored at `fraction` when n_splits is
+    None) gets salt factor ceil(share * n_splits) so no single split
+    ends up larger than ~1x the target — this is what keeps stragglers
+    bounded when one host owns 30% of a crawl. Deterministic for a
+    given input."""
     total = pages.count()
     if total == 0:
-        return []
+        return {}
+    target = (total / n_splits) if n_splits else (total * fraction)
     rows = (
         pages.select(host_of(F.col("url")).alias("host"))
         .groupBy("host")
         .count()
-        .filter(F.col("count") > int(total * fraction))
-        .select("host")
+        .filter(F.col("count") > target)
         .collect()
     )
-    return sorted(r["host"] for r in rows)
+    return {
+        r["host"]: int(-(-r["count"] // target))  # ceil(count / target)
+        for r in sorted(rows, key=lambda r: r["host"])
+    }
 
 
 def assign_splits(
     pages: DataFrame,
     n_splits: int = DEFAULT_N_SPLITS,
     salt_factor: int = DEFAULT_SALT_FACTOR,
-    hot_hosts: list[str] | None = None,
+    hot_hosts: list[str] | dict[str, int] | None = None,
 ) -> DataFrame:
     """Add `split_id`: a pure function of (url, config).
 
     Base bucketing is by host hash (keeps a host's pages co-located —
     cache-friendly and politeness-compatible); hosts in `hot_hosts`
-    are salted by a url-hash over `salt_factor` buckets so a skewed
-    host spreads over `salt_factor` splits (north_rule: "url-hash
-    partitioning with salting for skewed hosts")."""
+    are salted by a url-hash so a skewed host spreads over several
+    splits (north_rule: "url-hash partitioning with salting for
+    skewed hosts"). `hot_hosts` is either a list (fixed `salt_factor`
+    for each) or a dict host -> per-host factor from
+    `compute_hot_hosts` (size-proportional — a host owning 30% of a
+    10^12-page crawl needs hundreds of salt buckets, not 8).
+    Salting only moves rows between splits; extraction output is
+    salt-invariant (tests/test_resume_salt.py)."""
     host = host_of(F.col("url"))
     base = F.xxhash64(host)
     if hot_hosts:
-        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_factor))
-        keyed = F.when(host.isin(list(hot_hosts)), base + salt).otherwise(base)
+        if isinstance(hot_hosts, dict):
+            factors = hot_hosts
+        else:
+            factors = {h: salt_factor for h in hot_hosts}
+        factors = {h: max(1, int(f)) for h, f in factors.items()}
+        if len(factors) <= 32:
+            salt_n = F.lit(1)
+            for h, f in sorted(factors.items()):
+                salt_n = F.when(host == h, F.lit(f)).otherwise(salt_n)
+        else:
+            # many hot hosts (huge n_splits): broadcast-join the tiny
+            # host->factor dim instead of a mile-long when-chain
+            spark = pages.sparkSession
+            dim = spark.createDataFrame(
+                sorted(factors.items()), "hh_host string, hh_factor int"
+            )
+            pages = pages.join(
+                F.broadcast(dim), host == F.col("hh_host"), "left"
+            )
+            salt_n = F.coalesce(F.col("hh_factor"), F.lit(1))
+        salt = F.pmod(F.xxhash64(F.col("url")), salt_n)
+        keyed = base + salt
     else:
         keyed = base
-    return pages.withColumn(
+    out = pages.withColumn(
         "split_id", F.pmod(keyed, F.lit(n_splits)).cast("int")
     )
+    return out.drop("hh_host", "hh_factor")
 
 
 def _extract_batches(budget: int):

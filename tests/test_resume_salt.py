@@ -1,0 +1,103 @@
+"""Property tests for the north rule's resilience clauses:
+kill-resume equivalence and salt invariance (SURVEY.md §5.3.3-5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    from ragflow_spark.sources.pages import synthesize_pages
+
+    return synthesize_pages(spark, sf_dir)
+
+
+def _text_map(extracted) -> dict:
+    return {
+        r["url"]: (r["extracted_text"], r["parse_code"])
+        for r in extracted.select("url", "extracted_text", "parse_code").collect()
+    }
+
+
+def test_salt_invariance(spark, pages):
+    """Output must be bit-identical for any salt factor (SURVEY.md
+    §7.3.5): salting only moves rows between splits."""
+    from ragflow_spark.plans.pipeline import assign_splits, extract_pages
+    from ragflow_spark.sources.pages import SKEWED_HOST
+
+    maps = []
+    for salt in (2, 8):
+        staged = assign_splits(
+            pages, n_splits=16, salt_factor=salt, hot_hosts=[SKEWED_HOST]
+        )
+        maps.append(_text_map(extract_pages(staged)))
+    assert maps[0] == maps[1]
+
+
+def test_salting_spreads_hot_host(spark, pages):
+    """The skewed host (~30% of pages) must land in > 1 split when
+    salted, and in exactly 1 split when not."""
+    from ragflow_spark.plans.pipeline import assign_splits, host_of
+    from ragflow_spark.sources.pages import SKEWED_HOST
+
+    def n_splits_of_hot(hot_hosts, salt):
+        staged = assign_splits(
+            pages, n_splits=16, salt_factor=salt, hot_hosts=hot_hosts
+        )
+        return (
+            staged.filter(host_of(F.col("url")) == SKEWED_HOST)
+            .select("split_id")
+            .distinct()
+            .count()
+        )
+
+    assert n_splits_of_hot(None, 8) == 1
+    assert n_splits_of_hot([SKEWED_HOST], 8) > 1
+
+
+def test_kill_resume_byte_identical(spark, pages, tmp_path):
+    """Run killed mid-way, then resumed, must equal a single-shot run
+    byte-for-byte; the resume must not redo completed waves."""
+    from ragflow_spark.plans.checkpoint import (
+        completed_splits,
+        read_outputs,
+        run_resumable,
+    )
+
+    single = str(tmp_path / "single")
+    resumed = str(tmp_path / "resumed")
+
+    run_resumable(spark, pages, single, run_id="s", n_splits=16, wave_size=4)
+
+    with pytest.raises(RuntimeError, match="injected"):
+        run_resumable(
+            spark, pages, resumed, run_id="k", n_splits=16, wave_size=4,
+            fail_after_waves=2,
+        )
+    done_before = completed_splits(spark, resumed)
+    assert 0 < len(done_before) < 16
+    run_resumable(spark, pages, resumed, run_id="r", n_splits=16, wave_size=4)
+
+    ex_s, m_s = read_outputs(spark, single)
+    ex_r, m_r = read_outputs(spark, resumed)
+    assert _text_map(ex_s) == _text_map(ex_r)
+
+    # completed waves were NOT re-run: their metrics rows still carry
+    # the killed run's id
+    owners = {
+        r["split_id"]: r["run_id"]
+        for r in m_r.select("split_id", "run_id").collect()
+    }
+    assert {owners[s] for s in done_before} == {"k"}
+    assert set(owners) - done_before and all(
+        owners[s] == "r" for s in set(owners) - done_before
+    )
+
+    # lineage completeness (FIXTURES.md §2 metrics invariants)
+    n_pages = pages.count()
+    assert m_r.agg(F.sum("n_docs")).collect()[0][0] == n_pages
+    assert m_r.groupBy("split_id").count().filter("count > 1").count() == 0
