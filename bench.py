@@ -78,13 +78,14 @@ def warm_python_workers(spark, cores: int) -> None:
 def pages_parquet(spark, sf_dir: str, repeat: int) -> str:
     """Synthesize-once cache of the deterministic pages table."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(REPO, ".bench", f"pages_{tag}_r{repeat}.parquet")
+    path = os.path.join(REPO, ".bench", f"pages_{tag}_r{repeat}_p128.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from ragflow_spark.sources.pages import synthesize_pages
 
         pages = synthesize_pages(spark, sf_dir, repeat=repeat)
-        # repartition so the cache has enough input splits for local[32]
-        pages.repartition(64).write.mode("overwrite").parquet(path)
+        # 128 files -> enough scan partitions for smooth scheduling at
+        # local[32] (4 waves of uniform ~5 MB tasks)
+        pages.repartition(128).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -108,7 +109,7 @@ def bench_extraction(spark, sf_dir: str, repeat: int, cores: int) -> dict:
     staged = assign_splits(
         pages, n_splits=n_splits, salt_factor=8, hot_hosts=hot
     )
-    ex = extract_pages(staged, n_partitions=n_splits)
+    ex = extract_pages(staged)  # zero-shuffle map over scan partitions
     row = ex.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("bytes_in").alias("bytes_in"),

@@ -94,8 +94,9 @@ Input: deterministic synthetic pages from `{SF_DIR}/documents.parquet`
 tiled x{REPEAT} -> {docs:,} pages ({mb:.1f} MB of html payload), cached
 as parquet (`bench.py::pages_parquet`). Same input, same seed, fresh
 JVM per parallelism level; median of {RUNS} runs; the timed job is
-parquet scan -> split assignment (url-host hash + salting) ->
-vectorized mapInPandas extraction -> count/bytes aggregate.
+parquet scan -> split assignment (url-host hash + size-proportional
+salting) -> zero-shuffle vectorized mapInPandas extraction ->
+count/bytes aggregate.
 
 ## Two-cluster-size scaling (sandbox proxy for N vs 4N executors)
 
@@ -107,8 +108,9 @@ vectorized mapInPandas extraction -> count/bytes aggregate.
 **Scaling efficiency = (T_8 / T_32) / 4 = {eff:.3f}** (target >= 0.8:
 {"PASS" if eff >= 0.8 else "FAIL"}).
 
-The extraction stage is map-only after a single repartition on
-`split_id`, so wall-clock scales with cores; the residual below 1.0 is
+The extraction stage is ZERO-SHUFFLE (the html payload maps straight
+from the scan into the pandas kernel; only small extracted rows ever
+shuffle), so wall-clock scales with cores; the residual below 1.0 is
 fixed job overhead (scan planning + the final 2-row aggregate).
 
 Raw per-run walls (s): local[8] {[round(r["queries"]["extract"], 2) for r in results[8]]},

