@@ -122,7 +122,8 @@ def render_page_html(doc_id: int, text: str, lang: str) -> bytes:
         )
     elif t == 7:  # t07_charset_lie: latin-1 bytes, utf-8 declared
         body = f"<p>café résumé naïve {doc_id}</p>{p_html}"
-        return _shell(body, "utf-8", "fr").encode("latin-1")
+        # deterministic replace: arbitrary doc text may hold non-latin-1
+        return _shell(body, "utf-8", "fr").encode("latin-1", "replace")
     elif t == 8:  # t08_malformed
         body = f"<div><p>open para {p_html}<p>another</div></span>{p_html}"
     elif t == 9:  # t09_empty

@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the plans we claim are the plans we get.
+
+These lock in the scale-critical properties (predicate pushdown,
+column pruning, zero-shuffle extraction, broadcast joins, top-k
+without full sort) so a refactor that silently regresses the physical
+strategy fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def ops():
+    import ragflow_spark.operators as ops
+
+    return ops
+
+
+def test_contains_filter_pushdown_and_pruning(spark, sf_dir, ops):
+    df = ops.QUERIES["contains_filter"](spark, sf_dir)
+    plan = formatted(df)
+    # column pruning: html-free 2-column read + text for the predicate
+    assert "ReadSchema" in plan
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in rs and "doc_id" in rs and "source" not in rs
+    # IsNotNull reaches the scan; the case-insensitive contains itself
+    # cannot push (lower() wraps the column — a StringContains pushdown
+    # would change semantics), so row-group skipping rides on the null
+    # filter + column stats only
+    assert "PushedFilters: [IsNotNull(text)" in plan
+
+
+def test_extraction_is_zero_shuffle(spark, sf_dir):
+    from ragflow_spark.plans.pipeline import assign_splits, extract_pages
+    from ragflow_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir)
+    ex = extract_pages(assign_splits(pages, 16, 8, None))
+    plan = plan_of(ex)
+    assert "Exchange" not in plan, "extraction must not shuffle the html payload"
+
+
+def test_resume_wave_is_colocated(spark, sf_dir):
+    from ragflow_spark.plans.pipeline import assign_splits, extract_pages
+    from ragflow_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir)
+    ex = extract_pages(assign_splits(pages, 16, 8, None), n_partitions=4)
+    assert "Exchange hashpartitioning(split_id" in plan_of(ex)
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir, ops):
+    plan = plan_of(ops.QUERIES["revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1  # only lineitem⋈orders may SMJ
+
+
+def test_topk_no_full_sort(spark, sf_dir, ops):
+    plan = plan_of(ops.QUERIES["top_n_limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort stage
+
+
+def test_q1_partial_aggregation(spark, sf_dir, ops):
+    plan = plan_of(ops.QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # map-side combine before the shuffle (partial_ prefix in agg exprs)
+    assert "partial_" in plan
+    # scan reads only the columns the query needs
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in rs and "l_orderkey" not in rs
+
+
+def test_no_rowwise_python_udf_registered():
+    """BASELINE.md vectorization constraint: no row-at-a-time
+    `F.udf(...)` anywhere in the package source (pandas/Arrow UDFs and
+    mapInPandas are the only Python escape hatches)."""
+    import os
+    import re
+
+    import ragflow_spark
+
+    pkg = os.path.dirname(ragflow_spark.__file__)
+    offenders = []
+    for root, _d, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            src = open(os.path.join(root, fn)).read()
+            if re.search(r"(?<![\w.])udf\s*\(|F\.udf\s*\(", src):
+                offenders.append(fn)
+    assert not offenders, f"row-wise udf( found in {offenders}"

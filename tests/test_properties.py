@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the pure kernels
+(SURVEY.md §5.3.3): extraction idempotence, chunk-span tiling,
+normalization fixpoints. No Spark — pure functions only."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from ragflow_spark.kernels.chunk import chunk_naive, num_tokens
+from ragflow_spark.kernels.extract import extract_document
+from ragflow_spark.kernels.htmlx import normalize_text
+from ragflow_spark.sources.pages import render_page_html
+
+TEXTS = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=2000,
+)
+
+
+@given(TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_normalize_is_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+
+
+@given(TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_normalize_invariants(s):
+    out = normalize_text(s)
+    assert "\r" not in out
+    assert "\t" not in out
+    assert "  " not in out.replace("\n", "|")  # no space runs
+    assert "\n\n\n" not in out
+    assert out == out.strip()
+
+
+@given(TEXTS.map(normalize_text), st.integers(min_value=4, max_value=64))
+@settings(max_examples=200, deadline=None)
+def test_chunk_spans_tile_text(text, budget):
+    spans = chunk_naive(text, budget)
+    if not text:
+        assert spans == []
+        return
+    # spans tile [0, len) without overlap, in order
+    assert spans[0][0] == 0
+    assert spans[-1][1] == len(text)
+    for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+        assert b1 == a2
+        assert a1 < b1
+    # no chunk wildly exceeds budget (a single long token may)
+    for a, b in spans:
+        piece = text[a:b]
+        assert num_tokens(piece) <= 2 * budget + 1 or " " not in piece
+
+
+@given(st.integers(min_value=0, max_value=100000), TEXTS, st.sampled_from(["en", "de", "zh", ""]))
+@settings(max_examples=100, deadline=None)
+def test_extraction_deterministic_and_total(doc_id, text, lang):
+    """Same payload -> byte-identical result; never raises; failures
+    are coded rows (error-as-row, reference baidu.py:70-71)."""
+    payload = render_page_html(doc_id, text, lang)
+    r1 = extract_document(payload, 64)
+    r2 = extract_document(payload, 64)
+    assert r1.extracted_text == r2.extracted_text
+    assert r1.parse_code == r2.parse_code
+    assert (r1.parse_status == "ok") == (r1.parse_code == 0)
+    # chunk spans tile the extracted text
+    for a, b in zip(r1.chunk_starts, r1.chunk_ends):
+        assert 0 <= a < b <= len(r1.extracted_text)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_extract_never_raises_on_garbage(data):
+    r = extract_document(data, 64)
+    assert r.parse_status in ("ok", "failed")
+    assert isinstance(r.parse_code, int)
