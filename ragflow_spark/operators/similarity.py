@@ -25,7 +25,7 @@ DIM = 64
     oracle=f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
     SELECT e.vec_id, e.label,
-           round(list_cosine_similarity(e.embedding, q.qe), 4) AS cos
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS cos
     FROM embeddings e, q
     WHERE e.vec_id != {QUERY_VEC_ID}
     ORDER BY cos DESC, e.vec_id LIMIT {TOP_K}
@@ -118,4 +118,98 @@ def ann_lsh_bucketed(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .filter(F.col("n_vecs") >= 2)
+    )
+
+
+# Query-time ANN uses fewer planes than the histogram: 4 planes -> 16
+# buckets, so a 500-vector corpus yields ~30 real candidates per query
+# (recall/selectivity trade-off; at 10^9 vectors you'd raise this and
+# multi-probe neighbor buckets instead).
+QUERY_PLANES = 4
+
+
+def _bucket_expr(n_planes: int = QUERY_PLANES):
+    """The n-bit sign-LSH bucket as one SQL expression over
+    `embedding` (shared by indexing and query sides so both hash
+    identically)."""
+    bits = []
+    for k in range(n_planes):
+        bits.append(
+            f"CASE WHEN aggregate(zip_with(embedding, "
+            f"transform(sequence(0, {DIM - 1}), d -> CASE WHEN "
+            f"locate(substr(md5(concat('plane-{k}-', cast(d as string))), 1, 1), "
+            f"'02468ace') > 0 THEN cast(1.0 as double) ELSE cast(-1.0 as double) END), "
+            f"(x, y) -> cast(x as double) * y), cast(0.0 as double), "
+            f"(acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END"
+        )
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def _duck_bucket_sql(n_planes: int = QUERY_PLANES) -> str:
+    bits = []
+    for k in range(n_planes):
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(range({DIM}), d -> "
+            f"e.embedding[d+1] * (CASE WHEN strpos('02468ace', "
+            f"substr(md5('plane-{k}-' || d), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)"
+            f")) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+@register(
+    "ann_query_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT e.vec_id, e.label, e.embedding, {_duck_bucket_sql()} AS bucket
+      FROM embeddings e
+    ), q AS (
+      SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT b.vec_id, b.label,
+           round(list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS cos
+    FROM b, q
+    WHERE b.bucket = q.qb AND b.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos DESC, b.vec_id LIMIT {TOP_K}
+    """,
+)
+def ann_query_topk(spark, sf_dir):
+    """Query-time ANN: hash the query vector to its sign-LSH bucket,
+    score ONLY that bucket's candidates with exact cosine, take top-k.
+    At 100 TB the index side is bucketed/partitioned by `bucket`, so a
+    query touches one partition (1/2^8 of the data here; recall is
+    tuned by probing neighbor buckets) instead of scanning every
+    vector — the sublinear companion to the exact `cosine_topk`."""
+    e = table(spark, sf_dir, "embeddings")
+    b = e.withColumn("bucket", _bucket_expr())
+    q = b.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    cand = b.filter(F.col("vec_id") != QUERY_VEC_ID).join(
+        F.broadcast(q), F.col("bucket") == F.col("qb")
+    )
+
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("qe"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("qe")))
+    return (
+        cand.select("vec_id", "label", F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
     )
