@@ -15,6 +15,15 @@ code, no custom source. The reference's analog is whole-state JSON
 serialization (reference agent/canvas.py:128-151); ours is
 partition-grain and idempotent (re-running a wave overwrites its
 split directories via dynamic partition overwrite).
+
+Table format: the sandbox has no Iceberg runtime jar, so writers use
+parquet with dynamic partition overwrite — the semantics Iceberg's
+overwrite-by-filter gives transactionally. On a cluster, add
+  --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+  --conf spark.sql.catalog.cc=org.apache.iceberg.spark.SparkCatalog
+and swap `.write.partitionBy(...).parquet(path)` for
+`.writeTo("cc.db.extracted").overwritePartitions()`; the wave +
+manifest logic is unchanged (it never relies on file layout).
 """
 
 from __future__ import annotations

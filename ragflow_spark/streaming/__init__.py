@@ -14,3 +14,8 @@ from ragflow_spark.streaming.windows import (  # noqa: F401
     windowed_counts_stream,
 )
 from ragflow_spark.streaming.sessions import sessionize_stream  # noqa: F401
+from ragflow_spark.streaming.extract_stream import (  # noqa: F401
+    extract_stream,
+    pages_stream,
+    run_extract_stream,
+)

@@ -105,3 +105,99 @@ def test_sessionize_stream_closed_sessions(spark, sf_dir, events_dir, tmp_path):
     rows = got.collect()
     assert all(r["n_events"] >= 1 for r in rows)
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_streaming_extraction_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming skin must produce byte-identical extracted_text
+    to the batch pipeline over the same pages (incremental ingest is
+    a delivery mode, not a different extractor)."""
+    from ragflow_spark.plans.pipeline import assign_splits, extract_pages
+    from ragflow_spark.sources.pages import synthesize_pages
+    from ragflow_spark.streaming import run_extract_stream
+
+    pages = synthesize_pages(spark, sf_dir)
+    src = str(tmp_path / "pages_src")
+    pages.repartition(4).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "stream_out")
+    run_extract_stream(
+        spark, src, out, str(tmp_path / "ckpt"),
+        n_splits=16, max_files_per_trigger=2,
+    )
+    streamed = {
+        r["url"]: (r["extracted_text"], r["parse_code"])
+        for r in spark.read.parquet(out)
+        .select("url", "extracted_text", "parse_code")
+        .collect()
+    }
+    batch = {
+        r["url"]: (r["extracted_text"], r["parse_code"])
+        for r in extract_pages(assign_splits(pages, 16, 8, None))
+        .select("url", "extracted_text", "parse_code")
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_watermark_append_emits_only_finalized_windows(spark, tmp_path):
+    """Event-time watermark semantics (the documented guarantees, not
+    the best-effort ones): in append mode a window emits exactly once,
+    only after the watermark passes its end; windows still open at
+    end-of-input are withheld. (Dropping data later than the watermark
+    is explicitly NOT guaranteed by Spark — observed 4.1 behavior
+    merges it if the window state still exists — so we don't pin
+    that.)"""
+    import datetime as dt
+
+    from ragflow_spark.streaming import events_stream, windowed_counts_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: on-time event; batch 2: ts far ahead advances the
+    # watermark past the 00:00 window; batch 3: a 10h-late event whose
+    # window is already finalized -> must be dropped. Watermark only
+    # advances BETWEEN micro-batches, so the late row needs its own
+    # batch after the advancer's.
+    batches = [
+        [(1, base, 10, "a", 1.0, "{}")],
+        [(2, base + dt.timedelta(hours=10), 10, "a", 1.0, "{}")],
+        [(3, base + dt.timedelta(minutes=5), 10, "a", 1.0, "{}")],
+    ]
+    src = str(tmp_path / "late_src")
+    cols = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    import glob
+    import os
+    import time
+
+    t0 = time.time() - 100
+    seen: set = set()
+    for i, rows_i in enumerate(batches):
+        spark.createDataFrame(rows_i, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        new = [f for f in sorted(glob.glob(f"{src}/part-*")) if f not in seen]
+        for f in new:
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+            seen.add(f)
+
+    stream = windowed_counts_stream(
+        events_stream(spark, src, max_files_per_trigger=1), watermark="2 hours"
+    )
+    # append mode: only windows finalized by the watermark emit
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (r["window_start"], r["n"]) for r in spark.table("late_test").collect()
+    ]
+    starts = [w for w, _ in rows]
+    # exactly one emission for the finalized 00:00 window
+    assert starts.count("2024-01-01 00:00:00") == 1
+    # the 10:00 window is still open at end-of-input (watermark 08:00
+    # < its end) -> withheld in append mode
+    assert "2024-01-01 10:00:00" not in starts
