@@ -194,3 +194,43 @@ def keyword_topn(spark, sf_dir):
     return (
         counts.orderBy(F.desc("n"), F.asc("word")).limit(20).select("word", "n")
     )
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS sig,
+           to_base64(encode(substring(text, 1, 12))) AS head_b64,
+           regexp_replace('<think>plan steps</think>' || text,
+                          '^.*</think>', '') AS no_think,
+           len(str_split(lower(text), 'the')) - 1 AS the_count,
+           upper(substring(lang, 1, 2)) AS lang_uc
+    FROM documents ORDER BY doc_id LIMIT 50
+    """,
+)
+def scalar_functions(spark, sf_dir):
+    """The reference's scalar-function surface in one projection
+    (SURVEY.md §2.3): md5 signature (baidufanyi.py:73,84), base64
+    (code.py:141-142), the `</think>` reasoning-trace strip
+    (generate.py:227, exesql.py:64, keyword.py:66), substring-count
+    (categorize.py:96 str.count), case fold + substring. All JVM-side
+    Column ops inside one whole-stage-codegen span."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(text).alias("sig"),
+            F.base64(F.substring(text, 1, 12).cast("binary")).alias("head_b64"),
+            F.regexp_replace(
+                F.concat(F.lit("<think>plan steps</think>"), text),
+                "^.*</think>",
+                "",
+            ).alias("no_think"),
+            (F.size(F.split(F.lower(text), "the")) - 1).alias("the_count"),
+            F.upper(F.substring("lang", 1, 2)).alias("lang_uc"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
