@@ -16,7 +16,14 @@ of the same idea (SURVEY.md §7.3.3 scopes it to non-ML heuristics):
      by x-gap clustering (read left column fully, then right);
      header/footer suppression: identical text repeated at the same
      extreme y band across >= 2 pages is dropped
-  5. sections: one per assembled text line, normalized like HTML text
+  5. table structure: >= MIN_TABLE_COLS text runs sharing one baseline
+     y, across >= 2 consecutive baselines sharing the same x-grid,
+     form a table block; each baseline becomes a ("row", cell\tcell…)
+     section (same convention as the HTML <tr> path). Exactly two
+     x-clusters stay two-COLUMN text, not a 2-col table — the
+     deterministic disambiguation rule (north_star: "table-structure
+     parsing for PDF payloads").
+  6. sections: one per assembled text line, normalized like HTML text
 
 Handles exactly the PDF feature set our deterministic generator
 (ragflow_spark/sources/pdfgen.py) emits plus graceful failure codes
@@ -194,6 +201,48 @@ def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes | None:
     return body
 
 
+MIN_TABLE_COLS = 3  # >=3 aligned runs per baseline -> table row
+MIN_TABLE_ROWS = 2  # >=2 consecutive aligned baselines -> table block
+_X_QUANT = 1.0  # x positions equal when rounded to this grid
+
+
+def _baselines(items: list[tuple[float, float, str]]):
+    """Group items by baseline y (rounded), each line's runs sorted by
+    x; returned top-down (-y)."""
+    by_y: dict[float, list[tuple[float, str]]] = {}
+    for x, y, s in items:
+        by_y.setdefault(round(y, 1), []).append((x, s))
+    return [
+        (y, sorted(runs, key=lambda t: t[0]))
+        for y, runs in sorted(by_y.items(), key=lambda kv: -kv[0])
+    ]
+
+
+def _table_blocks(lines) -> set[float]:
+    """Baseline ys that belong to a table block: runs of >=
+    MIN_TABLE_ROWS consecutive baselines, each with >= MIN_TABLE_COLS
+    runs, consecutive baselines sharing >= MIN_TABLE_COLS-1 x
+    positions (the aligned grid)."""
+    ys: set[float] = set()
+    run: list[tuple[float, frozenset]] = []
+
+    def flush():
+        if len(run) >= MIN_TABLE_ROWS:
+            ys.update(y for y, _g in run)
+        run.clear()
+
+    for y, runs in lines:
+        grid = frozenset(round(x / _X_QUANT) for x, _s in runs)
+        if len(runs) >= MIN_TABLE_COLS:
+            if run and len(run[-1][1] & grid) < MIN_TABLE_COLS - 1:
+                flush()
+            run.append((y, grid))
+        else:
+            flush()
+    flush()
+    return ys
+
+
 def _cluster_two_columns(xs: list[float]) -> float | None:
     """If line x-origins form two clusters separated by a wide gap,
     return the split x; else None. Deterministic: largest gap wins,
@@ -262,6 +311,27 @@ def pdf_extract(data: bytes) -> tuple[list[tuple[str, str]], int]:
                 )
             ]
             if not kept:
+                continue
+            lines = _baselines(kept)
+            table_ys = _table_blocks(lines)
+            if table_ys:
+                # table page: top-down baseline flow, rows tab-joined;
+                # (tables + multi-column text never co-occur in this
+                # layout model — the grid IS the column structure)
+                for y, runs in lines:
+                    if y in table_ys:
+                        cells = [
+                            normalize_text(s).replace("\n", " ")
+                            for _x, s in runs
+                        ]
+                        row = "\t".join(cells).strip("\t")
+                        if row:
+                            sections.append(("row", row))
+                    else:
+                        for _x, s in runs:
+                            txt = normalize_text(s)
+                            if txt:
+                                sections.append(("p", txt))
                 continue
             split = _cluster_two_columns([x for x, _y, _s in kept])
             if split is None:

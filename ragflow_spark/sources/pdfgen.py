@@ -99,6 +99,32 @@ def single_column_pdf(paragraphs: list[str], header: str = "", footer: str = "")
     return make_pdf(pages)
 
 
+def table_pdf(
+    paragraphs: list[str],
+    rows: list[list[str]],
+    col_xs: tuple[float, ...] = (72.0, 220.0, 380.0),
+) -> bytes:
+    """p06-style: flowing paragraphs followed by an aligned table —
+    each row's cells share one baseline y at fixed column x positions
+    (>= 3 columns so the kernel's table/two-column disambiguation
+    classifies it as a table)."""
+    y_top, dy = 740.0, 16.0
+    page = []
+    i = 0
+    for p in paragraphs:
+        for ln in p.split("\n"):
+            if ln:
+                page.append((72.0, y_top - i * dy, ln))
+                i += 1
+    i += 1  # blank gap before the table
+    for row in rows:
+        y = y_top - i * dy
+        for x, cell in zip(col_xs, row):
+            page.append((x, y, cell))
+        i += 1
+    return make_pdf([page])
+
+
 def two_column_pdf(left_lines: list[str], right_lines: list[str]) -> bytes:
     """p02-style: left column x=60, right column x=320."""
     y_top, dy = 740.0, 16.0

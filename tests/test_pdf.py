@@ -74,3 +74,57 @@ def test_determinism():
     pdf2 = single_column_pdf(["a b c"] * 3, header="H", footer="F")
     assert pdf1 == pdf2
     assert pdf_extract(pdf1) == pdf_extract(pdf2)
+
+
+class TestTableStructure:
+    def test_table_rows_extracted(self):
+        from ragflow_spark.kernels.pdfx import pdf_extract
+        from ragflow_spark.sources.pdfgen import table_pdf
+
+        rows = [
+            ["name", "qty", "price"],
+            ["bolt", "12", "0.40"],
+            ["nut", "99", "0.15"],
+        ]
+        data = table_pdf(["Intro paragraph about parts."], rows)
+        sections, code = pdf_extract(data)
+        assert code == 0
+        row_secs = [t for k, t in sections if k == "row"]
+        assert row_secs == ["name\tqty\tprice", "bolt\t12\t0.40", "nut\t99\t0.15"]
+        # the paragraph survives as a p section BEFORE the table
+        kinds = [k for k, _ in sections]
+        assert kinds.index("p") < kinds.index("row")
+
+    def test_single_aligned_line_is_not_a_table(self):
+        from ragflow_spark.kernels.pdfx import pdf_extract
+        from ragflow_spark.sources.pdfgen import table_pdf
+
+        # one aligned baseline only (< MIN_TABLE_ROWS) -> stays text
+        data = table_pdf([], [["a", "b", "c"]])
+        sections, code = pdf_extract(data)
+        assert code == 0
+        assert all(k == "p" for k, _ in sections)
+
+    def test_two_columns_still_read_as_columns(self):
+        from ragflow_spark.kernels.pdfx import pdf_extract
+        from ragflow_spark.sources.pdfgen import two_column_pdf
+
+        data = two_column_pdf(["L1", "L2", "L3"], ["R1", "R2", "R3"])
+        sections, code = pdf_extract(data)
+        assert code == 0
+        texts = [t for _k, t in sections]
+        # left column fully before right column; never tab-joined rows
+        assert texts == ["L1", "L2", "L3", "R1", "R2", "R3"]
+
+    def test_misaligned_grid_is_not_a_table(self):
+        from ragflow_spark.kernels.pdfx import pdf_extract
+        from ragflow_spark.sources.pdfgen import make_pdf
+
+        # 3 runs per baseline but x grids don't align across lines
+        page = [
+            (72.0, 700.0, "a"), (210.0, 700.0, "b"), (395.0, 700.0, "c"),
+            (90.0, 684.0, "d"), (260.0, 684.0, "e"), (430.0, 684.0, "f"),
+        ]
+        sections, code = pdf_extract(make_pdf([page]))
+        assert code == 0
+        assert all(k == "p" for k, _ in sections)
