@@ -12,11 +12,21 @@ char_end]``, spans tile ``[0, len(text))`` without overlap or gaps
 Token counting is a whitespace + BPE-ish regex count (BASELINE round
 instructions): one token per word-ish run, per CJK char, per
 punctuation glyph. Deterministic, dependency-free.
+
+Performance: token counts per chunk are ACCUMULATED while pieces are
+merged (counts are additive because cut points never split a token —
+they fall only after punctuation/whitespace or at token ends), so the
+whole text is regex-scanned once via C-level ``findall``, not once per
+piece plus once per final chunk. ``tests/test_properties.py`` pins the
+accumulated-equals-rescanned equivalence.
 """
 
 from __future__ import annotations
 
 import re
+from bisect import bisect_left
+from collections import deque
+from itertools import islice
 
 DEFAULT_TOKEN_BUDGET = 256
 
@@ -32,9 +42,27 @@ _TOKEN_RE = re.compile(
 # generalized to text): newline, CJK & latin terminals.
 _SENT_BOUND_RE = re.compile(r"[\n。；！？!?;.]")
 
+# (char_start, char_end, token_count) — internal span representation
+Span3 = tuple[int, int, int]
+
 
 def num_tokens(s: str) -> int:
     return len(_TOKEN_RE.findall(s))
+
+
+def tokenize(text: str) -> tuple[list[int], list[int]]:
+    """(starts, ends) offset arrays — used by tests to verify the
+    additive-count invariant; the hot path uses findall counting."""
+    starts: list[int] = []
+    ends: list[int] = []
+    for m in _TOKEN_RE.finditer(text):
+        starts.append(m.start())
+        ends.append(m.end())
+    return starts, ends
+
+
+def count_tokens_between(starts: list[int], a: int, b: int) -> int:
+    return bisect_left(starts, b) - bisect_left(starts, a)
 
 
 def _cut_points(text: str) -> list[int]:
@@ -57,15 +85,16 @@ def _cut_points(text: str) -> list[int]:
 
 def _spans_for_segment(
     text: str, seg_start: int, seg_end: int, budget: int
-) -> list[tuple[int, int]]:
+) -> list[Span3]:
     """Greedy merge of sentence pieces in text[seg_start:seg_end] into
     spans of <= budget tokens (a single over-budget sentence becomes
     its own chunk — never split inside a sentence unless it alone
-    exceeds 2x budget, then hard-split on token boundaries)."""
+    exceeds 2x budget, then hard-split on token boundaries). Token
+    counts accumulate with the merge — no re-scan per span."""
     seg = text[seg_start:seg_end]
     if not seg:
         return []
-    spans: list[tuple[int, int]] = []
+    spans: list[Span3] = []
     start = 0
     tok_count = 0
     prev_cut = 0
@@ -73,16 +102,16 @@ def _spans_for_segment(
         piece = seg[prev_cut:cut]
         pt = num_tokens(piece)
         if tok_count > 0 and tok_count + pt > budget:
-            spans.append((start, prev_cut))
+            spans.append((start, prev_cut, tok_count))
             start = prev_cut
             tok_count = 0
         if pt > 2 * budget:
             # pathological single sentence (t10_huge_node): hard split
             if start < prev_cut:
-                spans.append((start, prev_cut))
+                spans.append((start, prev_cut, tok_count))
             spans.extend(
-                (prev_cut + a, prev_cut + b)
-                for a, b in _hard_split(piece, budget)
+                (prev_cut + a, prev_cut + b, n)
+                for a, b, n in _hard_split(piece, budget)
             )
             start = cut
             tok_count = 0
@@ -90,30 +119,27 @@ def _spans_for_segment(
             tok_count += pt
         prev_cut = cut
     if start < len(seg):
-        spans.append((start, len(seg)))
-    return [(seg_start + a, seg_start + b) for a, b in spans if a < b]
+        spans.append((start, len(seg), tok_count))
+    return [
+        (seg_start + a, seg_start + b, n) for a, b, n in spans if a < b
+    ]
 
 
-def _hard_split(piece: str, budget: int) -> list[tuple[int, int]]:
-    spans = []
+def _hard_split(piece: str, budget: int) -> list[Span3]:
+    """Cut every `budget`-th token end. The loop consumes the match
+    iterator at C speed (deque+islice) instead of a per-token Python
+    body — a 500 kB single node (t10) has ~10^5 tokens."""
+    n = len(_TOKEN_RE.findall(piece))
+    spans: list[Span3] = []
     start = 0
-    count = 0
-    last_end = 0
-    for m in _TOKEN_RE.finditer(piece):
-        count += 1
-        last_end = m.end()
-        if count >= budget:
-            spans.append((start, last_end))
-            start = last_end
-            count = 0
+    it = _TOKEN_RE.finditer(piece)
+    for _ in range(n // budget):
+        last = deque(islice(it, budget), maxlen=1)[0]
+        spans.append((start, last.end(), budget))
+        start = last.end()
     if start < len(piece):
-        spans.append((start, len(piece)))
+        spans.append((start, len(piece), n % budget))
     return spans
-
-
-def chunk_naive(text: str, budget: int = DEFAULT_TOKEN_BUDGET) -> list[tuple[int, int]]:
-    """Flat token-budget chunking over the whole text."""
-    return _spans_for_segment(text, 0, len(text), budget)
 
 
 def _section_offsets(text: str, section_texts: list[str]) -> list[tuple[int, int]]:
@@ -133,16 +159,12 @@ _HEADING_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 BOOK_SPLIT_LEVEL = 2  # new unit at h1/h2
 
 
-def chunk_book(
+def _book_spans3(
     text: str,
     section_kinds: list[str],
     section_texts: list[str],
-    budget: int = DEFAULT_TOKEN_BUDGET,
-) -> list[tuple[int, int]]:
-    """Hierarchical chunking: a new unit starts at each heading of
-    level <= BOOK_SPLIT_LEVEL; units are budget-split internally.
-    Covers the full text (leading matter before the first heading is
-    its own unit)."""
+    budget: int,
+) -> list[Span3]:
     offs = _section_offsets(text, section_texts)
     unit_starts = [0]
     for kind, (s, _e) in zip(section_kinds, offs):
@@ -150,7 +172,7 @@ def chunk_book(
         if lvl is not None and lvl <= BOOK_SPLIT_LEVEL and s > 0:
             unit_starts.append(s)
     unit_starts = sorted(set(unit_starts))
-    spans: list[tuple[int, int]] = []
+    spans: list[Span3] = []
     for i, us in enumerate(unit_starts):
         ue = unit_starts[i + 1] if i + 1 < len(unit_starts) else len(text)
         spans.extend(_spans_for_segment(text, us, ue, budget))
@@ -161,12 +183,12 @@ _ABSTRACT_RE = re.compile(r"^\s*abstract\b", re.IGNORECASE)
 _REFERENCES_RE = re.compile(r"^\s*(references|bibliography)\b", re.IGNORECASE)
 
 
-def chunk_paper(
+def _paper_spans3(
     text: str,
     section_kinds: list[str],
     section_texts: list[str],
-    budget: int = DEFAULT_TOKEN_BUDGET,
-) -> list[tuple[int, int]]:
+    budget: int,
+) -> list[Span3]:
     """Paper-aware: abstract is one chunk; references are one chunk;
     body is budget-chunked with heading-aligned unit starts."""
     offs = _section_offsets(text, section_texts)
@@ -185,11 +207,12 @@ def chunk_paper(
             # non-heading section directly continuing the abstract block
             if not heading_starts or heading_starts[-1] <= abstract_span[0]:
                 abstract_span[1] = e
-    spans: list[tuple[int, int]] = []
+    spans: list[Span3] = []
     body_start = 0
     body_end = len(text)
     if abstract_span is not None and abstract_span[0] == 0:
-        spans.append((0, min(abstract_span[1], len(text))))
+        a, b = 0, min(abstract_span[1], len(text))
+        spans.append((a, b, num_tokens(text[a:b])))
         body_start = abstract_span[1] + 1 if abstract_span[1] < len(text) else len(text)
     if refs_start is not None and refs_start > body_start:
         body_end = max(body_start, refs_start - 1)
@@ -202,31 +225,111 @@ def chunk_paper(
         ue = unit_starts[i + 1] if i + 1 < len(unit_starts) else body_end
         spans.extend(_spans_for_segment(text, us, min(ue, body_end), budget))
     if refs_start is not None and refs_start < len(text):
-        spans.append((refs_start, len(text)))
-    # close any separator gaps so spans tile [0, len) exactly
-    return _tile(spans, len(text))
+        spans.append((refs_start, len(text), num_tokens(text[refs_start:])))
+    return spans
 
 
-def _tile(spans: list[tuple[int, int]], n: int) -> list[tuple[int, int]]:
+def _tile3(spans: list[Span3], n: int) -> list[Span3]:
     """Extend each span to touch the next (separators belong to the
-    preceding chunk) and clamp to [0, n)."""
-    spans = sorted((a, b) for a, b in spans if a < b)
-    out = []
-    for i, (a, b) in enumerate(spans):
+    preceding chunk) and clamp to [0, n). Extensions only cover
+    separator whitespace, so token counts carry over unchanged; the
+    defensive overlap-merge path recomputes its count."""
+    spans = sorted((a, b, c) for a, b, c in spans if a < b)
+    out: list[Span3] = []
+    for i, (a, b, c) in enumerate(spans):
         nxt = spans[i + 1][0] if i + 1 < len(spans) else n
         if i == 0 and a > 0:
             a = 0
-        out.append((a, max(b, min(nxt, n)) if b < nxt else b))
-    # merge accidental overlaps deterministically
-    fixed = []
-    for a, b in out:
+        out.append((a, max(b, min(nxt, n)) if b < nxt else b, c))
+    fixed: list[Span3] = []
+    for a, b, c in out:
         if fixed and a < fixed[-1][1]:
             a = fixed[-1][1]
+            c = -1  # count invalidated by the merge adjustment
         if a < b:
-            fixed.append((a, b))
+            fixed.append((a, b, c))
     if fixed and fixed[-1][1] < n:
-        fixed[-1] = (fixed[-1][0], n)
+        a, _b, c = fixed[-1]
+        fixed[-1] = (a, n, c)
     return fixed
+
+
+def _spans3(
+    template: str,
+    text: str,
+    section_kinds: list[str],
+    section_texts: list[str],
+    budget: int,
+) -> list[Span3]:
+    if not text:
+        return []
+    if template == "book":
+        spans = _book_spans3(text, section_kinds, section_texts, budget)
+    elif template == "paper":
+        spans = _paper_spans3(text, section_kinds, section_texts, budget)
+    else:
+        spans = _spans_for_segment(text, 0, len(text), budget)
+    return _tile3(spans, len(text))
+
+
+def chunk_spans_with_counts(
+    template: str,
+    text: str,
+    section_kinds: list[str],
+    section_texts: list[str],
+    budget: int = DEFAULT_TOKEN_BUDGET,
+) -> list[Span3]:
+    """(char_start, char_end, token_count) per chunk — counts
+    accumulated during the merge (one findall scan of the text
+    total); a count invalidated by tiling (-1) is recomputed."""
+    out = []
+    for a, b, c in _spans3(template, text, section_kinds, section_texts, budget):
+        if c < 0:
+            c = num_tokens(text[a:b])
+        out.append((a, b, c))
+    return out
+
+
+# ---- public span-only wrappers (tests + external callers) ----
+
+
+def chunk_naive(
+    text: str,
+    budget: int = DEFAULT_TOKEN_BUDGET,
+    tok=None,  # retained for API compat; counting no longer needs it
+) -> list[tuple[int, int]]:
+    """Flat token-budget chunking over the whole text."""
+    return [(a, b) for a, b, _c in _tile3(
+        _spans_for_segment(text, 0, len(text), budget), len(text)
+    )] if text else []
+
+
+def chunk_book(
+    text: str,
+    section_kinds: list[str],
+    section_texts: list[str],
+    budget: int = DEFAULT_TOKEN_BUDGET,
+) -> list[tuple[int, int]]:
+    """Hierarchical chunking: a new unit starts at each heading of
+    level <= BOOK_SPLIT_LEVEL; units are budget-split internally."""
+    return [
+        (a, b) for a, b, _c in _book_spans3(text, section_kinds, section_texts, budget)
+    ]
+
+
+def chunk_paper(
+    text: str,
+    section_kinds: list[str],
+    section_texts: list[str],
+    budget: int = DEFAULT_TOKEN_BUDGET,
+) -> list[tuple[int, int]]:
+    """Paper-aware chunking (see _paper_spans3)."""
+    return [
+        (a, b)
+        for a, b, _c in _tile3(
+            _paper_spans3(text, section_kinds, section_texts, budget), len(text)
+        )
+    ]
 
 
 PAPER_MIN_HEADINGS = 1
@@ -252,13 +355,9 @@ def chunk_spans(
     section_kinds: list[str],
     section_texts: list[str],
     budget: int = DEFAULT_TOKEN_BUDGET,
+    tok=None,  # retained for API compat
 ) -> list[tuple[int, int]]:
-    if not text:
-        return []
-    if template == "book":
-        spans = chunk_book(text, section_kinds, section_texts, budget)
-    elif template == "paper":
-        spans = chunk_paper(text, section_kinds, section_texts, budget)
-    else:
-        spans = chunk_naive(text, budget)
-    return _tile(spans, len(text))
+    return [
+        (a, b)
+        for a, b, _c in _spans3(template, text, section_kinds, section_texts, budget)
+    ]

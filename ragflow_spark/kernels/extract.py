@@ -18,8 +18,7 @@ from dataclasses import dataclass, field
 from ragflow_spark.kernels.chunk import (
     DEFAULT_TOKEN_BUDGET,
     choose_template,
-    chunk_spans,
-    num_tokens,
+    chunk_spans_with_counts,
 )
 from ragflow_spark.kernels.htmlx import html_extract
 from ragflow_spark.kernels.pdfx import pdf_extract
@@ -63,13 +62,14 @@ def extract_document(
         texts = [t for _k, t in sections]
         text = "\n".join(texts)
         template = choose_template(kinds, texts)
-        spans = chunk_spans(template, text, kinds, texts, budget)
         res = ExtractResult(kind, text, "ok", CODE_OK, len(sections))
-        for a, b in spans:
+        for a, b, n in chunk_spans_with_counts(
+            template, text, kinds, texts, budget
+        ):
             res.chunk_templates.append(template)
             res.chunk_starts.append(a)
             res.chunk_ends.append(b)
-            res.chunk_tokens.append(num_tokens(text[a:b]))
+            res.chunk_tokens.append(n)
         return res
     except Exception:
         return ExtractResult("html", "", "failed", CODE_INTERNAL, 0)

@@ -76,3 +76,16 @@ def test_extract_never_raises_on_garbage(data):
     r = extract_document(data, 64)
     assert r.parse_status in ("ok", "failed")
     assert isinstance(r.parse_code, int)
+
+
+@given(TEXTS.map(normalize_text), st.integers(min_value=4, max_value=64))
+@settings(max_examples=200, deadline=None)
+def test_bisect_token_counts_equal_rescan(text, budget):
+    """The tokenize-once + bisect count must equal re-tokenizing each
+    chunk (the optimization is only valid while cuts never split a
+    token — this property guards that invariant)."""
+    from ragflow_spark.kernels.chunk import count_tokens_between, tokenize
+
+    tok = tokenize(text)
+    for a, b in chunk_naive(text, budget, tok=tok):
+        assert count_tokens_between(tok[0], a, b) == num_tokens(text[a:b])
