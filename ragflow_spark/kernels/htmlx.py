@@ -251,16 +251,21 @@ def prune(el: Element) -> None:
 
 _WS_RUN_RE = re.compile("[ \\t\\f\\v\\u00a0\\u200b\\u2009\\u202f]+")
 _NL_RUN_RE = re.compile(r"\n{3,}")
+_SPACE_NL_RE = re.compile(r" ?\n ?")
 
 
 def normalize_text(s: str) -> str:
     """FIXTURES.md §5.1: NFC; \\n newlines; collapse space runs;
-    <=2 consecutive newlines; strip each line; strip the whole."""
+    <=2 consecutive newlines; strip each line; strip the whole.
+
+    Per-line stripping is one regex sub: after the space-run collapse
+    a line has at most ONE space at each edge, so ' ?\\n ?' -> '\\n'
+    equals stripping every line (property-tested idempotence +
+    invariants in tests/test_properties.py)."""
     s = unicodedata.normalize("NFC", s)
     s = s.replace("\r\n", "\n").replace("\r", "\n")
     s = _WS_RUN_RE.sub(" ", s)
-    lines = [ln.strip() for ln in s.split("\n")]
-    s = "\n".join(lines)
+    s = _SPACE_NL_RE.sub("\n", s)
     s = _NL_RUN_RE.sub("\n\n", s)
     return s.strip()
 
