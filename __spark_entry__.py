@@ -23,9 +23,22 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def _prepare(spark: SparkSession) -> None:
-    """Ship the package zip to python workers (idempotent)."""
+    """Harden a driver-provided session: ship the package zip to
+    python workers (idempotent) and pin the runtime-settable confs the
+    oracle comparison depends on — session timezone (timestamp
+    rendering must match DuckDB's naive timestamps regardless of the
+    harness's TZ) and a sane shuffle-partition count for small-SF
+    runs."""
     from ragflow_spark.deploy import package_zip
 
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     try:
         spark.sparkContext.addPyFile(package_zip())
     except Exception:
