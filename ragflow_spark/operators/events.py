@@ -97,3 +97,80 @@ def sessionize(spark, sf_dir):
         F.sum("n_events").alias("n_events"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+@register(
+    "history_window",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS recent_events
+    FROM ranked WHERE rn <= 3
+    GROUP BY user_id
+    """,
+)
+def history_window(spark, sf_dir):
+    """F6 history-window flatten (reference agent/component/base.py:
+    419-444 resolves `answer` inputs by flattening the last N
+    conversation turns; canvas.py:312-324 get_history(window_size)):
+    per user, the last 3 events in time order folded into one string.
+
+    Scale: rank + filter reduces to 3 rows/user BEFORE the fold, so
+    the collect_list state is bounded regardless of history length."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    return ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("recent_events")
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CASE WHEN value >= 100 THEN 'high' ELSE 'low' END, 'ALL')
+             AS value_band,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY ROLLUP (event_type,
+                     CASE WHEN value >= 100 THEN 'high' ELSE 'low' END)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate — Spark-native bonus beyond the
+    reference (SURVEY.md §2.6 notes the reference has no grouping
+    sets); one pass produces per-(type,band), per-type, and grand
+    totals via partial aggregation."""
+    e = table(spark, sf_dir, "events")
+    band = F.when(F.col("value") >= 100, "high").otherwise("low")
+    return (
+        e.select(F.col("event_type"), band.alias("value_band"), F.col("value"))
+        .rollup("event_type", "value_band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("value_band", F.lit("ALL")).alias("value_band"),
+            "n",
+            "total",
+        )
+    )
