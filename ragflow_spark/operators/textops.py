@@ -234,3 +234,46 @@ def scalar_functions(spark, sf_dir):
         .orderBy("doc_id")
         .limit(50)
     )
+
+
+@register(
+    "categorize_route",
+    oracle="""
+    SELECT route, count(*) AS n FROM (
+      SELECT CASE
+        WHEN len(regexp_extract_all(lower(text), 'spark')) = 0
+         AND len(regexp_extract_all(lower(text), 'join')) = 0
+         AND len(regexp_extract_all(lower(text), 'sort')) = 0 THEN 'sort'
+        WHEN len(regexp_extract_all(lower(text), 'spark'))
+               >= len(regexp_extract_all(lower(text), 'join'))
+         AND len(regexp_extract_all(lower(text), 'spark'))
+               >= len(regexp_extract_all(lower(text), 'sort')) THEN 'spark'
+        WHEN len(regexp_extract_all(lower(text), 'join'))
+               >= len(regexp_extract_all(lower(text), 'sort')) THEN 'join'
+        ELSE 'sort' END AS route
+      FROM documents
+    ) GROUP BY route
+    """,
+)
+def categorize_route(spark, sf_dir):
+    """C4 Categorize routing semantics, LLM swapped for the count
+    itself (reference agent/component/categorize.py:94-106: count each
+    category name's occurrences in the answer, max wins with
+    first-in-order tie-break, fallback to the LAST category when
+    nothing matches). Routing compiles to one when/otherwise
+    projection + a tiny aggregate."""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    cats = ["spark", "join", "sort"]  # declaration order; last = fallback
+    cnt = {c: F.regexp_count(low, F.lit(c)) for c in cats}
+    route = (
+        F.when(sum(cnt.values()) == 0, cats[-1])
+        .when((cnt["spark"] >= cnt["join"]) & (cnt["spark"] >= cnt["sort"]), "spark")
+        .when(cnt["join"] >= cnt["sort"], "join")
+        .otherwise("sort")
+    )
+    return (
+        d.select(route.alias("route"))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
