@@ -75,21 +75,26 @@ def warm_python_workers(spark, cores: int) -> None:
     )
 
 
-def pages_parquet(spark, sf_dir: str, repeat: int) -> str:
+def pages_parquet(spark, sf_dir: str, repeat: int, text_tile: int = 1) -> str:
     """Synthesize-once cache of the deterministic pages table."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(REPO, ".bench", f"pages_{tag}_r{repeat}_p128.parquet")
+    suffix = f"_f{text_tile}" if text_tile > 1 else ""
+    path = os.path.join(
+        REPO, ".bench", f"pages_{tag}_r{repeat}{suffix}_p128.parquet"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from ragflow_spark.sources.pages import synthesize_pages
 
-        pages = synthesize_pages(spark, sf_dir, repeat=repeat)
+        pages = synthesize_pages(spark, sf_dir, repeat=repeat, text_tile=text_tile)
         # 128 files -> enough scan partitions for smooth scheduling at
         # local[32] (4 waves of uniform ~5 MB tasks)
         pages.repartition(128).write.mode("overwrite").parquet(path)
     return path
 
 
-def bench_extraction(spark, sf_dir: str, repeat: int, cores: int) -> dict:
+def bench_extraction(
+    spark, sf_dir: str, repeat: int, cores: int, text_tile: int = 1
+) -> dict:
     from pyspark.sql import functions as F
 
     from ragflow_spark.plans.pipeline import (
@@ -98,7 +103,7 @@ def bench_extraction(spark, sf_dir: str, repeat: int, cores: int) -> dict:
         extract_pages,
     )
 
-    path = pages_parquet(spark, sf_dir, repeat)
+    path = pages_parquet(spark, sf_dir, repeat, text_tile=text_tile)
     pages = spark.read.parquet(path)
     n_splits = max(64, cores * 4)
     # cheap url-only pre-pass, untimed: per-host size-proportional salts
@@ -141,6 +146,16 @@ def main() -> None:
     ext = bench_extraction(spark, sf_dir, repeat, cores)
     timings["extract"] = round(ext["wall_s"], 3)
 
+    # optional realistic-page-size axis: SPARK_GRAFT_BENCH_FAT=K tiles
+    # each doc's text xK (~K*1.4 kB pages), repeat scaled down 4x
+    fat = int(os.environ.get("SPARK_GRAFT_BENCH_FAT", "0"))
+    fat_stats = None
+    if fat > 1:
+        fat_stats = bench_extraction(
+            spark, sf_dir, max(1, repeat // 4), cores, text_tile=fat
+        )
+        timings["extract_fat"] = round(fat_stats["wall_s"], 3)
+
     if not skip_queries:
         import ragflow_spark.operators as ops
 
@@ -168,6 +183,14 @@ def main() -> None:
         "docs_per_sec": round(ext["docs_per_sec"], 1),
         "mb_per_sec": round(ext["mb_per_sec"], 2),
     }
+    if fat_stats:
+        result["fat_pages"] = {
+            "text_tile": fat,
+            "docs": fat_stats["docs"],
+            "mb_in": round(fat_stats["bytes_in"] / 1e6, 1),
+            "docs_per_sec": round(fat_stats["docs_per_sec"], 1),
+            "mb_per_sec": round(fat_stats["mb_per_sec"], 2),
+        }
     print(json.dumps(result))
     spark.stop()
 

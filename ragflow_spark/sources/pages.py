@@ -161,8 +161,13 @@ def url_for(doc_id: int) -> str:
     return f"https://{host_for(doc_id)}/doc-{doc_id}"
 
 
-def render_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """pandas batch: documents columns -> pages columns (Arrow-safe)."""
+def render_pages_pdf(pdf: pd.DataFrame, text_tile: int = 1) -> pd.DataFrame:
+    """pandas batch: documents columns -> pages columns (Arrow-safe).
+
+    ``text_tile`` > 1 tiles each document's text before rendering so
+    page payloads approach realistic Common-Crawl sizes (~50-100 kB)
+    for throughput benchmarking; default 1 keeps the golden corpus
+    byte-stable."""
     doc_ids = pdf["doc_id"].astype("int64")
     out = pd.DataFrame(
         {
@@ -171,7 +176,11 @@ def render_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                 EPOCH + _dt.timedelta(seconds=int(d) * 137) for d in doc_ids
             ],
             "html": [
-                render_page_html(int(d), t if isinstance(t, str) else "", l or "")
+                render_page_html(
+                    int(d),
+                    (t if isinstance(t, str) else "") * text_tile,
+                    l or "",
+                )
                 for d, t, l in zip(doc_ids, pdf["text"], pdf["lang"])
             ],
             "text": pdf["text"].astype("string"),
@@ -184,11 +193,12 @@ def render_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def synthesize_pages(spark, sf_dir: str, repeat: int = 1):
+def synthesize_pages(spark, sf_dir: str, repeat: int = 1, text_tile: int = 1):
     """documents.parquet -> deterministic pages DataFrame.
 
     ``repeat`` > 1 tiles the documents table with shifted doc_ids for
-    bench-scale inputs without external data (ids stay unique)."""
+    bench-scale inputs without external data (ids stay unique);
+    ``text_tile`` > 1 fattens each page toward realistic CC sizes."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -202,9 +212,12 @@ def synthesize_pages(spark, sf_dir: str, repeat: int = 1):
             .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n))
             .drop("rep")
         )
-    return docs.mapInPandas(_render_iter, schema=PAGES_SCHEMA)
+    return docs.mapInPandas(_render_iter(text_tile), schema=PAGES_SCHEMA)
 
 
-def _render_iter(batches):
-    for pdf in batches:
-        yield render_pages_pdf(pdf)
+def _render_iter(text_tile: int = 1):
+    def it(batches):
+        for pdf in batches:
+            yield render_pages_pdf(pdf, text_tile)
+
+    return it
