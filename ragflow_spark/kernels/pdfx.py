@@ -74,6 +74,8 @@ TWO_COL_MIN_GAP = 120.0  # pt gap between x clusters => two columns
 
 
 def _unescape_pdf_string(raw: bytes) -> str:
+    if b"\\" not in raw:  # fast path: no escapes (the common case)
+        return raw.decode("latin-1")
     out = []
     i = 0
     n = len(raw)
