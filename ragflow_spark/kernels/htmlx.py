@@ -27,6 +27,12 @@ Pipeline (document order only, no dict-order dependence):
 
 All thresholds are frozen named constants — fixture stability depends
 on them (SURVEY.md §7.3.2).
+
+Published basis for the density heuristics: Kohlschütter/Fankhauser/
+Nejdl, "Boilerplate detection using shallow text features" (WSDM
+2010) — link density + text length per block; the main-content
+selection idea follows Arc90 Readability (public source) re-derived
+as frozen deterministic rules.
 """
 
 from __future__ import annotations

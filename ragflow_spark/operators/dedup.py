@@ -7,6 +7,12 @@ shuffles on a 16-byte digest, never the text. MinHash LSH shuffles on
 100 TB the bucket join replaces the O(n²) pair space with only
 colliding candidates. Signatures are md5-based so the DuckDB oracle
 can reproduce them bit-for-bit (xxhash64 differs between engines).
+
+Published basis: Broder, "On the resemblance and containment of
+documents" (SEQUENCES 1997) for minhash/shingling; the banding
+analysis follows Leskovec/Rajaraman/Ullman, Mining of Massive
+Datasets ch.3; SimHash per Charikar, "Similarity estimation
+techniques from rounding algorithms" (STOC 2002).
 """
 
 from __future__ import annotations

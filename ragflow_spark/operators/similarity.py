@@ -6,6 +6,10 @@ sign-LSH path is the 100 TB shape: bucket vectors by hyperplane signs
 so the candidate set for a query is one bucket join, not a full scan.
 Hyperplanes are md5-derived ±1 vectors so the DuckDB oracle can
 reproduce the buckets exactly.
+
+Published basis: sign-random-projection LSH per Charikar (STOC 2002);
+bucket-probe query pattern per Datar et al., "Locality-sensitive
+hashing scheme based on p-stable distributions" (SoCG 2004).
 """
 
 from __future__ import annotations
