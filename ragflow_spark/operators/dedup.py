@@ -250,25 +250,45 @@ def dedup_simhash(spark, sf_dir):
         import pandas as pd
 
         for pdf in batches:
+            # Vectorized over the batch: md5 each UNIQUE word once
+            # (crawl text repeats vocabulary heavily), unpack its 64
+            # bits into a V x 64 ±1 matrix, then each doc's signature
+            # is one fancy-indexed sum — no per-word python inner loop.
+            docs = [(t or "").lower().split() for t in pdf["text"]]
+            vocab: dict[str, int] = {}
+            for words in docs:
+                for w in words:
+                    if w not in vocab:
+                        vocab[w] = len(vocab)
+            if vocab:
+                hashes = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(w.encode()).digest()[:8] for w in vocab
+                    ),
+                    dtype=">u8",
+                )
+                votes = (
+                    np.unpackbits(
+                        hashes.astype(np.uint64).byteswap().view(np.uint8)
+                    )
+                    .reshape(len(vocab), 64)[:, ::-1]
+                    .astype(np.int8)
+                )
+                votes = votes * 2 - 1  # bit -> ±1 vote
             out = np.zeros(len(pdf), dtype=np.int64)
-            for i, t in enumerate(pdf["text"]):
-                words = (t or "").lower().split()
+            for i, words in enumerate(docs):
                 if not words:
                     continue
-                acc = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for w in words:
-                    h = np.uint64(
-                        int.from_bytes(
-                            hashlib.md5(w.encode()).digest()[:8], "big"
-                        )
+                idx = np.fromiter(
+                    (vocab[w] for w in words), dtype=np.int64, count=len(words)
+                )
+                acc = votes[idx].sum(axis=0, dtype=np.int64)
+                bits = np.where(acc > 0, np.uint64(1), np.uint64(0))
+                sig = int(
+                    np.bitwise_or.reduce(
+                        bits << np.arange(64, dtype=np.uint64)
                     )
-                    bits = (h >> shifts) & np.uint64(1)
-                    acc += np.where(bits == 1, 1, -1)
-                sig = 0
-                for b in range(64):
-                    if acc[b] > 0:
-                        sig |= 1 << b
+                )
                 out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": out})
 
