@@ -135,6 +135,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "96"))
+    # text_tile for the PRIMARY timed extraction (default 1 = the tiny
+    # driver-corpus pages; bench_scaling sets it to CC-realistic sizes
+    # so per-page kernel work dominates fixed job overhead)
+    tile = int(os.environ.get("SPARK_GRAFT_BENCH_TILE", "1"))
     skip_queries = os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1"
 
     from ragflow_spark.session import get_spark
@@ -143,7 +147,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    ext = bench_extraction(spark, sf_dir, repeat, cores)
+    ext = bench_extraction(spark, sf_dir, repeat, cores, text_tile=tile)
     timings["extract"] = round(ext["wall_s"], 3)
 
     # optional realistic-page-size axis: SPARK_GRAFT_BENCH_FAT=K tiles
