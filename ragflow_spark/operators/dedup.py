@@ -25,6 +25,19 @@ N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # bands of r=2 rows each
 
 
+def _spread(df):
+    """Repartition ONLY when the scan underprovisions the cluster
+    (tiny test files -> 4 partitions on 32 cores). At 100 TB the scan
+    has ample splits and this is a no-op — an unconditional
+    repartition here would shuffle the whole corpus text just to fix
+    a sandbox artifact."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, "doc_id")
+    return df
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -139,8 +152,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     signature -> 4 bands x 2 rows -> bucket collisions (round brief).
     Output = colliding (band, bucket) groups; the pair join happens in
     `neardup_jaccard`. All generator expressions — zero UDFs."""
-    d = table(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = _spread(table(spark, sf_dir, "documents"))
     words = F.split(F.lower(F.col("text")), " ")
     sh = d.filter(F.size(words) >= 3).select(
         "doc_id", _spark_shingles(F.col("text")).alias("sh")
@@ -194,8 +206,7 @@ def neardup_jaccard(spark, sf_dir):
     produces candidate pairs; exact Jaccard on distinct shingle sets
     confirms. The join key is the 16-byte bucket, the pair space is
     only collisions — the 100 TB-safe shape of near-dup detection."""
-    d = table(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = _spread(table(spark, sf_dir, "documents"))
     words = F.split(F.lower(F.col("text")), " ")
     sh = d.filter(F.size(words) >= 3).select(
         "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
