@@ -19,8 +19,10 @@ Local sandbox usage (drives the same code path):
         --output /tmp/out --run-id demo
 
 `--input synth:<sf_dir>` synthesizes the deterministic pages table
-from that directory's documents.parquet; any other value is read as a
-parquet path with the (url, warc_ts, html, text, lang) schema.
+from that directory's documents.parquet; `--input warc:<glob>` ingests
+.warc/.warc.gz segments (one non-splittable segment per task — the
+Common Crawl layout); any other value is read as a parquet path with
+the (url, warc_ts, html, text, lang) schema.
 
 Sizing guidance for 10^12 docs (SURVEY.md §4.2): n_splits >= 16x total
 executor cores so AQE and the resume grain both have headroom; wave
@@ -59,6 +61,12 @@ def main() -> None:
         from ragflow_spark.sources.pages import synthesize_pages
 
         pages = synthesize_pages(spark, args.input[len("synth:"):])
+    elif args.input.startswith("warc:"):
+        from ragflow_spark.sources.warc import read_warc_pages
+
+        pages = read_warc_pages(spark, args.input[len("warc:"):]).select(
+            "url", "warc_ts", "html", "text", "lang"
+        )
     else:
         pages = spark.read.parquet(args.input)
 
