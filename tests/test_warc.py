@@ -71,3 +71,36 @@ def test_warc_to_extraction_end_to_end(spark, tmp_path):
     got = {r["url"]: r["extracted_text"] for r in ex.collect()}
     want = {u: extract_document(p).extracted_text for u, _t, p in pages}
     assert got == want
+
+
+# ---- property-based hardening ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+URLS = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1, max_size=60,
+).map(lambda s: "https://h.example/" + s.replace("\r", "").replace("\n", ""))
+
+
+@given(
+    st.lists(
+        st.tuples(URLS, st.binary(max_size=500)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    ),
+    st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_roundtrip_arbitrary_payloads(items, gz):
+    ts = dt.datetime(2026, 2, 3, 4, 5, 6, tzinfo=dt.timezone.utc)
+    pages = [(u, ts, p) for u, p in items]
+    records, skipped = parse_warc(build_warc(pages, per_record_gzip=gz))
+    assert skipped == 0
+    assert [(r.url, r.payload) for r in records] == [(u, p) for u, p in items]
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=150, deadline=None)
+def test_parse_total_on_garbage(data):
+    records, skipped = parse_warc(data)
+    assert isinstance(records, list) and skipped >= 0
