@@ -174,3 +174,44 @@ def rollup_revenue(spark, sf_dir):
             "total",
         )
     )
+
+
+@register(
+    "hopping_event_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest(list_value(
+               to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800),
+               to_timestamp(floor(epoch(ts) / 1800) * 1800)
+             )) AS ws
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def hopping_event_counts(spark, sf_dir):
+    """Hopping (sliding) windows: 1-hour window, 30-minute slide —
+    every event lands in exactly two windows. Batch form of
+    `F.window(ts, '1 hour', '30 minutes')`; the oracle materializes
+    the same two window starts per event arithmetically."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

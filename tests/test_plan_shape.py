@@ -107,3 +107,20 @@ def test_no_rowwise_python_udf_registered():
             if re.search(r"(?<![\w.])udf\s*\(|F\.udf\s*\(", src):
                 offenders.append(fn)
     assert not offenders, f"row-wise udf( found in {offenders}"
+
+
+def test_warc_ingestion_is_map_only(spark, tmp_path):
+    """WARC segments -> pages must be scan + mapInPandas, no Exchange
+    (one non-splittable segment per task at CC scale)."""
+    import datetime as dt
+
+    from ragflow_spark.kernels.warcx import build_warc
+    from ragflow_spark.sources.warc import read_warc_pages
+
+    seg = tmp_path / "w"
+    seg.mkdir()
+    (seg / "s.warc.gz").write_bytes(
+        build_warc([("https://x/a", dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc), b"<p>hi</p>")])
+    )
+    df = read_warc_pages(spark, str(seg))
+    assert "Exchange" not in plan_of(df)
