@@ -215,3 +215,54 @@ def hopping_event_counts(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@register(
+    "session_window_counts",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch(ts) - epoch(prev_ts) >= {SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def session_window_counts(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (30-min gap) — the
+    built-in counterpart to the window-function `sessionize` query;
+    the oracle recomputes the same sessions via gaps-and-islands.
+    Note Spark's boundary semantics: an event exactly gap seconds
+    after the previous one starts a NEW session (window end is
+    exclusive), hence `>=` in the oracle where `sessionize` uses `>`."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
