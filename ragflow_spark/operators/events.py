@@ -266,3 +266,85 @@ def session_window_counts(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "pivot_event_values",
+    oracle="""
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN event_type='click' THEN value END), 0), 4) AS click,
+           round(coalesce(sum(CASE WHEN event_type='error' THEN value END), 0), 4) AS error,
+           round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END), 0), 4) AS purchase,
+           round(coalesce(sum(CASE WHEN event_type='signup' THEN value END), 0), 4) AS signup,
+           round(coalesce(sum(CASE WHEN event_type='view' THEN value END), 0), 4) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_values(spark, sf_dir):
+    """Pivot: event types to columns (explicit value list so the plan
+    is a single hash aggregate — an unlisted pivot needs an extra
+    distinct pass to discover columns, a full scan at 100 TB)."""
+    e = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in types],
+    )
+
+
+@register(
+    "asof_last_login",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
+      FROM events WHERE event_type IN ('signup', 'error')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(signup_ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_signup_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           coalesce(strftime(last_signup_ts, '%Y-%m-%d %H:%M:%S'), 'never')
+             AS asof_signup_ts
+    FROM filled WHERE event_type = 'error'
+    """,
+)
+def asof_last_login(spark, sf_dir):
+    """AS-OF join (round-brief custom-operator example): each error
+    event joined to the most recent signup at-or-before it, per user.
+    Spark lacks a native as-of join; the composition-of-built-ins form
+    is union + running max over an ordered window — one shuffle on
+    user_id, no range join explosion, the 100 TB-safe shape (a naive
+    inequality join would be O(errors x signups) per user)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error")
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.max(signup_ts).over(w).alias("last_signup_ts"),
+    )
+    return filled.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.coalesce(
+            F.date_format("last_signup_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("never"),
+        ).alias("asof_signup_ts"),
+    )
