@@ -179,13 +179,17 @@ def rollup_revenue(spark, sf_dir):
 @register(
     "hopping_event_counts",
     oracle="""
-    WITH starts AS (
+    WITH aligned AS (
+      -- stay in the NAIVE timestamp domain: to_timestamp() would
+      -- yield TIMESTAMPTZ and strftime would render it in the
+      -- process timezone (driver-sim runs under a non-UTC TZ)
       SELECT event_type, value,
-             unnest(list_value(
-               to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800),
-               to_timestamp(floor(epoch(ts) / 1800) * 1800)
-             )) AS ws
+             ts - to_microseconds(epoch_us(ts) % 1800000000) AS w1
       FROM events
+    ), starts AS (
+      SELECT event_type, value,
+             unnest(list_value(w1 - INTERVAL 30 MINUTE, w1)) AS ws
+      FROM aligned
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, count(*) AS n, round(sum(value), 4) AS total_value
