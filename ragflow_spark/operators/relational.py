@@ -325,3 +325,59 @@ def rename_projection(spark, sf_dir):
         F.col("p_brand").alias("Brand Name"),
         F.round("p_retailprice", 4).alias("Retail Price"),
     )
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    ORDER BY c_custkey LIMIT 100
+    """,
+)
+def anti_join_customers(spark, sf_dir):
+    """Set-difference shape the reference never has (SURVEY.md §2.6:
+    'intersect/except unused'): customers with no FINISHED order via LEFT ANTI
+    join — the same plan the checkpoint-resume manifest uses
+    (plans/checkpoint.py anti-joins splits against completed work).
+    Scale: the anti join shuffles only the keys of the smaller
+    distinct-keys side. (Filtered to finished orders so the result is
+    non-empty at every test SF — every customer has SOME order.)"""
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "intersect_active_segments",
+    oracle="""
+    SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def intersect_active_segments(spark, sf_dir):
+    """INTERSECT (the other unused set op, SURVEY.md §2.6): market
+    segments that have both a high-balance customer and an ordering
+    customer. Compiles to a distinct + semi-join pair."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_mktsegment")
+    active = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_mktsegment")
+    )
+    return rich.intersect(active)
