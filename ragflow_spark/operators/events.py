@@ -64,7 +64,7 @@ def windowed_event_counts(spark, sf_dir):
       SELECT user_id, session_id, count(*) AS n_events FROM numbered
       GROUP BY user_id, session_id
     )
-    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+    SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
            max(n_events) AS max_session_events
     FROM per_session GROUP BY user_id
     """,

@@ -136,7 +136,7 @@ def _thumb_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              ) // 4 AS v
       FROM px
     )
-    SELECT doc_id, thumb_w, thumb_h, sum(v) AS thumb_sum
+    SELECT doc_id, thumb_w, thumb_h, sum(v)::BIGINT AS thumb_sum
     FROM blocks GROUP BY doc_id, thumb_w, thumb_h
     """,
 )
@@ -184,7 +184,7 @@ def _frame_checksums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     )
     SELECT doc_id,
            count(*) AS n_sampled,
-           sum((s*31 + f*7) % 256) AS first_px_sum
+           sum((s*31 + f*7) % 256)::BIGINT AS first_px_sum
     FROM frames WHERE f % {FRAME_EVERY} = 0
     GROUP BY doc_id
     """,

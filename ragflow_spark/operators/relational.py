@@ -224,8 +224,8 @@ def multirow_fold(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n_rows,
-           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_error,
-           sum(coalesce(k, -1)) AS sum_k
+           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_error,
+           sum(coalesce(k, -1))::BIGINT AS sum_k
     FROM (
       SELECT event_type,
              try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k

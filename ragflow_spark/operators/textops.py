@@ -28,7 +28,8 @@ _LANG_MARKERS = {
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS total_tokens,
+           sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}')))::BIGINT
+             AS total_tokens,
            round(avg(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))), 4)
              AS avg_tokens
     FROM documents GROUP BY source

@@ -29,6 +29,27 @@ TABLES = (
 )
 
 
+def _df_cell(v):
+    """Normalize a pandas-rendered oracle cell: None-ify NaN/NA/NaT
+    scalars, unwrap numpy scalars to Python so types (not just values)
+    are visible in the raw comparison."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_df_cell(x) for x in v)
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
 def canon(v):
     if v is None:
         return "NULL"
@@ -79,10 +100,19 @@ def main() -> int:
             if name not in oracles:
                 print(f"  {name}: rows-only, {len(rows)} rows")
                 continue
+            # Compare through DuckDB's pandas render (.df()), the same
+            # path the real driver takes: HUGEINT aggregates become
+            # float64 there (6.0 vs Spark's 6) — fetchall() hides that
+            # class because Python ints compare equal. Round 1 shipped
+            # 5 hash_match failures this way; never again.
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
+            ddf = res.df()
+            dcols = list(ddf.columns)
             dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            drows = res.fetchall()
+            drows = [
+                tuple(_df_cell(v) for v in row)
+                for row in ddf.itertuples(index=False, name=None)
+            ]
             want = sorted("|".join(canon(r[i]) for i in dorder) for r in drows)
             want_raw = sorted(tuple(r) for r in drows)
             if sorted(cols) != sorted(dcols):
