@@ -231,16 +231,25 @@ def _paper_spans3(
 
 def _tile3(spans: list[Span3], n: int) -> list[Span3]:
     """Extend each span to touch the next (separators belong to the
-    preceding chunk) and clamp to [0, n). Extensions only cover
-    separator whitespace, so token counts carry over unchanged; the
-    defensive overlap-merge path recomputes its count."""
+    preceding chunk) and clamp to [0, n). Any span whose bounds move
+    gets its accumulated token count invalidated (-1, recomputed by
+    chunk_spans_with_counts): extensions normally cover only separator
+    whitespace, but the leading/trailing clamps can swallow real text
+    and the recompute is cheap and rare (segment boundaries only —
+    spans inside a segment tile exactly and keep their counts)."""
     spans = sorted((a, b, c) for a, b, c in spans if a < b)
     out: list[Span3] = []
     for i, (a, b, c) in enumerate(spans):
         nxt = spans[i + 1][0] if i + 1 < len(spans) else n
         if i == 0 and a > 0:
             a = 0
-        out.append((a, max(b, min(nxt, n)) if b < nxt else b, c))
+            c = -1  # leading extension may cover tokens; recompute
+        if b < nxt:
+            b2 = max(b, min(nxt, n))
+            if b2 != b:
+                b = b2
+                c = -1  # gap extension may cover tokens; recompute
+        out.append((a, b, c))
     fixed: list[Span3] = []
     for a, b, c in out:
         if fixed and a < fixed[-1][1]:
@@ -249,8 +258,8 @@ def _tile3(spans: list[Span3], n: int) -> list[Span3]:
         if a < b:
             fixed.append((a, b, c))
     if fixed and fixed[-1][1] < n:
-        a, _b, c = fixed[-1]
-        fixed[-1] = (a, n, c)
+        a, _b, _c = fixed[-1]
+        fixed[-1] = (a, n, -1)  # trailing extension; recompute
     return fixed
 
 

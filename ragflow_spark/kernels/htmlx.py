@@ -255,19 +255,28 @@ def prune(el: Element) -> None:
 
 # ----------------------------------------------------------- sectioning
 
-_WS_RUN_RE = re.compile("[ \\t\\f\\v\\u00a0\\u200b\\u2009\\u202f]+")
+# Full non-\n whitespace class: ASCII blanks, NEL, NBSP, Ogham mark,
+# en/em/thin/etc spaces (U+2000-U+200A), ZWSP, LS/PS, MMSP, ideographic
+# space.  Anything here collapses to one ASCII space, so the ' ?\n ?'
+# line-edge strip below sees every whitespace flavor (U+3000 around
+# newlines in CJK pages included) — equivalent to a per-line .strip().
+_WS_RUN_RE = re.compile(
+    "[ \\t\\f\\v\\x85\\u00a0\\u1680\\u2000-\\u200b\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+)
 _NL_RUN_RE = re.compile(r"\n{3,}")
 _SPACE_NL_RE = re.compile(r" ?\n ?")
 
 
 def normalize_text(s: str) -> str:
-    """FIXTURES.md §5.1: NFC; \\n newlines; collapse space runs;
-    <=2 consecutive newlines; strip each line; strip the whole.
+    """FIXTURES.md §5.1: NFC; \\n newlines; collapse runs of non-\\n
+    Unicode whitespace to one space; <=2 consecutive newlines; strip
+    each line; strip the whole.
 
-    Per-line stripping is one regex sub: after the space-run collapse
-    a line has at most ONE space at each edge, so ' ?\\n ?' -> '\\n'
-    equals stripping every line (property-tested idempotence +
-    invariants in tests/test_properties.py)."""
+    Per-line stripping is one regex sub: because _WS_RUN_RE covers the
+    whole non-\\n whitespace class, after the collapse a line has at
+    most ONE (ASCII) space at each edge, so ' ?\\n ?' -> '\\n' equals
+    stripping every line (property-tested idempotence + invariants in
+    tests/test_properties.py)."""
     s = unicodedata.normalize("NFC", s)
     s = s.replace("\r\n", "\n").replace("\r", "\n")
     s = _WS_RUN_RE.sub(" ", s)

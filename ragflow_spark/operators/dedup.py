@@ -33,7 +33,10 @@ def _spread(df):
     a sandbox artifact."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # inputFiles() is a listing, not an RDD conversion — df.rdd here
+    # would force a full plan translation just to read a partition
+    # count. One file per task is the parquet split lower bound.
+    if len(df.inputFiles()) < max(2, target // 2):
         return df.repartition(target, "doc_id")
     return df
 
@@ -74,16 +77,22 @@ def _spark_shingles(text_col):
 
 
 def _spark_shingle_digests(shingles_col):
-    """md5 hex digest per shingle — computed ONCE; the 8 minhash
-    values are 4-hex-char (16-bit) slices of this digest, so the md5
-    work per shingle is 1 hash, not N_HASHES hashes (8x less CPU at
-    100 TB). Lexicographic min over lowercase hex == numeric min."""
-    return F.transform(shingles_col, lambda s: F.md5(s))
+    """TWO md5 hex digests per shingle (64 hex chars) — the 8 minhash
+    values are 8-hex-char (32-bit) slices of this material, so each
+    minhash carries 32 bits of entropy (a 16-bit slice saturates near
+    0 on large shingle sets and floods band buckets with false
+    collisions at crawl scale) while the md5 work per shingle stays 2
+    hashes, not N_HASHES (4x less CPU at 100 TB). Lexicographic min
+    over fixed-width lowercase hex == numeric min."""
+    return F.transform(
+        shingles_col,
+        lambda s: F.concat(F.md5(s), F.md5(F.concat(s, F.lit("#2")))),
+    )
 
 
 def _spark_minhash_slice(digests_col, k: int):
     return F.array_min(
-        F.transform(digests_col, lambda h: F.substring(h, 1 + 4 * k, 4))
+        F.transform(digests_col, lambda h: F.substring(h, 1 + 8 * k, 8))
     )
 
 
@@ -117,7 +126,7 @@ _DUCK_SHINGLES = (
 
 def _duck_sig_cols() -> str:
     return ",\n".join(
-        f"list_min(list_transform(hs, h -> substring(h, {1 + 4 * k}, 4))) AS h{k}"
+        f"list_min(list_transform(hs, h -> substring(h, {1 + 8 * k}, 8))) AS h{k}"
         for k in range(N_HASHES)
     )
 
@@ -139,7 +148,8 @@ def _duck_bands_union() -> str:
     ), sh_t AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM docs WHERE len(w) >= 3
     ), dig AS (
-      SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh_t
+      SELECT doc_id, list_transform(sh, s -> md5(s) || md5(s || '#2')) AS hs
+      FROM sh_t
     ), sig AS (
       SELECT doc_id, {_duck_sig_cols()} FROM dig
     ), bands AS ({_duck_bands_union()})
@@ -180,7 +190,8 @@ def dedup_minhash_lsh(spark, sf_dir):
       SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
       FROM docs WHERE len(w) >= 3
     ), dig AS (
-      SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM sh_t
+      SELECT doc_id, sh, list_transform(sh, s -> md5(s) || md5(s || '#2')) AS hs
+      FROM sh_t
     ), sig AS (
       SELECT doc_id, sh, {_duck_sig_cols()} FROM dig
     ), bands AS (

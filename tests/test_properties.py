@@ -33,6 +33,18 @@ def test_normalize_invariants(s):
     assert "  " not in out.replace("\n", "|")  # no space runs
     assert "\n\n\n" not in out
     assert out == out.strip()
+    # every line edge is clean under Python's full Unicode whitespace
+    # definition — U+3000 etc. around newlines must not survive
+    for line in out.split("\n"):
+        assert line == line.strip()
+
+
+def test_normalize_unicode_line_edges():
+    # regression: ideographic space (U+3000) at a line edge, common in
+    # CJK pages, must strip like ASCII space (FIXTURES.md §5.1)
+    assert normalize_text("hello　\nworld") == "hello\nworld"
+    assert normalize_text("a  \nb") == "a\nb"
+    assert normalize_text("a b c") == "a b c"
 
 
 @given(TEXTS.map(normalize_text), st.integers(min_value=4, max_value=64))
@@ -89,3 +101,34 @@ def test_bisect_token_counts_equal_rescan(text, budget):
     tok = tokenize(text)
     for a, b in chunk_naive(text, budget, tok=tok):
         assert count_tokens_between(tok[0], a, b) == num_tokens(text[a:b])
+
+
+_WORD = st.text(alphabet="abcdefg", min_size=1, max_size=8)
+_SECTION = st.tuples(
+    st.sampled_from(["h1", "h2", "h3", "p", "li", "row"]),
+    st.lists(_WORD, min_size=1, max_size=30).map(" ".join),
+)
+
+
+@given(
+    st.sampled_from(["naive", "book", "paper"]),
+    st.lists(_SECTION, min_size=1, max_size=12),
+    st.integers(min_value=4, max_value=48),
+)
+@settings(max_examples=150, deadline=None)
+def test_template_span_counts_equal_rescan(template, sections, budget):
+    """chunk_spans_with_counts' accumulated counts must equal a rescan
+    for EVERY template — the book/paper paths go through _tile3's
+    extension branches (segment gaps, leading/trailing clamps), which
+    must invalidate-and-recompute whenever bounds move."""
+    from ragflow_spark.kernels.chunk import chunk_spans_with_counts
+
+    kinds = [k for k, _t in sections]
+    texts = [t for _k, t in sections]
+    text = "\n".join(texts)
+    spans = chunk_spans_with_counts(template, text, kinds, texts, budget)
+    # tiling: cover [0, len) exactly, in order
+    assert spans[0][0] == 0 and spans[-1][1] == len(text)
+    for (a, b, c), nxt in zip(spans, spans[1:] + [(len(text), 0, 0)]):
+        assert a < b and b == nxt[0]
+        assert c == num_tokens(text[a:b])
