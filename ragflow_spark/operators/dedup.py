@@ -259,12 +259,40 @@ def neardup_jaccard(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")  # no SQL oracle: 64-bit bit-twiddling agg
+@register(
+    "dedup_simhash",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(str_split_regex(lower(text), '\s+')) AS w
+      FROM documents
+    ), wh AS (
+      SELECT doc_id, ('0x' || substring(md5(w), 1, 16))::UBIGINT AS h
+      FROM words WHERE w <> ''
+    ), acc AS (
+      SELECT doc_id, j.j,
+             sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM wh, (SELECT unnest(range(64)) AS j) j
+      GROUP BY doc_id, j.j
+    ), sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::UBIGINT << j)::HUGEINT
+                      ELSE 0 END) AS usig
+      FROM acc GROUP BY doc_id
+    )
+    SELECT ((coalesce(usig, 0) >> 48) & 65535)::BIGINT AS band16,
+           count(*)::BIGINT AS n_docs
+    FROM documents d LEFT JOIN sigs USING (doc_id)
+    GROUP BY band16 HAVING count(*) >= 2
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup signatures via a vectorized pandas UDF (numpy
-    bit ops over Arrow batches — the genuinely non-SQL op, driver
-    records the weaker rows-only check). 64-bit signature from md5 of
-    each word; groups by 16-bit bands for candidate detection."""
+    bit ops over Arrow batches). 64-bit signature from md5 of each
+    word occurrence; groups by 16-bit bands for candidate detection.
+    The DuckDB oracle replays the bit votes relationally: unnest word
+    occurrences, md5 -> 64-bit int, per-bit +/-1 vote sums, signature
+    reassembly, band on bits 48-63 (the LEFT JOIN keeps wordless docs
+    at signature 0, matching the kernel)."""
     def simhash_batches(batches):
         import hashlib
 

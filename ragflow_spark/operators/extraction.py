@@ -1,15 +1,22 @@
 """The extraction pipeline exposed as driver-checkable queries.
 
 Byte-level extraction output is not SQL-expressible (the kernel is a
-DOM parser), so these register WITHOUT oracle SQL — the driver records
-the weaker rows-only check; byte-exactness is covered by the pinned
-golden fixtures in tests/test_golden.py instead (FIXTURES.md §2).
+DOM parser), so extract_text_hashes registers WITHOUT oracle SQL — the
+driver records the weaker rows-only check; byte-exactness is covered
+by the pinned golden fixtures in tests/test_golden.py (FIXTURES.md §2).
+extract_pages_stats, by contrast, IS oracle-able: content_type and
+parse outcome are pure modular arithmetic on doc_id (the page
+synthesizer routes templates by doc_id % 20, sources/pages.py: t in
+{18,19} -> pdf, t == 9 -> empty payload since 20k+9 is always odd;
+every other template parses ok), so the count-level mix is mirrored
+in SQL.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ragflow_spark.kernels.sniff import CODE_EMPTY_PAYLOAD, CODE_OK
 from ragflow_spark.operators.registry import register
 from ragflow_spark.plans.pipeline import (
     assign_splits,
@@ -18,23 +25,33 @@ from ragflow_spark.plans.pipeline import (
 from ragflow_spark.sources.pages import synthesize_pages
 
 
-@register("extract_pages_stats")
+@register(
+    "extract_pages_stats",
+    oracle=f"""
+    SELECT CASE WHEN doc_id % 20 IN (18, 19) THEN 'pdf'
+                WHEN doc_id % 20 = 9 THEN 'empty'
+                ELSE 'html' END AS content_type,
+           CASE WHEN doc_id % 20 = 9 THEN 'failed' ELSE 'ok' END
+             AS parse_status,
+           CASE WHEN doc_id % 20 = 9 THEN {CODE_EMPTY_PAYLOAD}
+                ELSE {CODE_OK} END AS parse_code,
+           count(*)::BIGINT AS n_docs
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+)
 def extract_pages_stats(spark, sf_dir):
     """Full pipeline over pages synthesized from documents.parquet:
-    per (content_type, parse_status, parse_code) counts + chunk and
-    token totals. Deterministic for a given sf_dir."""
+    per (content_type, parse_status, parse_code) counts. The oracle
+    recomputes the mix arithmetically from the synthesizer's
+    doc_id % 20 routing — a real end-to-end check that every page
+    lands in the right parser with the right outcome. Chunk/char
+    totals are covered per-url by extract_text_hashes + goldens."""
     pages = synthesize_pages(spark, sf_dir)
     staged = assign_splits(pages, n_splits=32, salt_factor=8, hot_hosts=None)
     ex = extract_pages(staged)
-    return (
-        ex.groupBy("content_type", "parse_status", "parse_code")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.coalesce("chunks", F.array()))).alias("n_chunks"),
-            F.sum(F.length(F.coalesce("extracted_text", F.lit("")))).alias(
-                "total_chars"
-            ),
-        )
+    return ex.groupBy("content_type", "parse_status", "parse_code").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
 
 
