@@ -1,11 +1,12 @@
 """Multimodal operators: opaque binary media columns over Spark.
 
-The media payloads are synthesized deterministically per doc_id by the
-fake codec family in kernels/media.py (real codecs are stubbed —
-container has no image/audio libs), so the heavy plumbing — binary
-columns in Arrow batches, mapInPandas decode, posexplode of sampled
-frames — is real, and every decoded value is integer arithmetic on
-doc_id that the DuckDB oracle recomputes exactly.
+The media payloads live in a parquet BINARY column (materialized once
+per sf_dir by sources/media_store.py — at lake scale the column is
+simply part of the table) and every query decodes FROM THE SCAN:
+parquet binary -> Arrow batch -> mapInPandas, the real multimodal
+plumbing. The fake codec family in kernels/media.py (real codecs are
+stubbed — container has no image/audio libs) makes every decoded value
+integer arithmetic on doc_id that the DuckDB oracle recomputes exactly.
 
 All three queries keep the 100 TB shape: decode is map-only over the
 scan (no shuffle), feature outputs are small typed columns, and the
@@ -20,7 +21,8 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from ragflow_spark.operators.registry import register, table
+from ragflow_spark.operators.registry import register
+from ragflow_spark.sources.media_store import media_table
 
 FRAME_EVERY = 3
 
@@ -30,13 +32,13 @@ _MEDIA_SCHEMA = (
 )
 
 
-def _synth_decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ragflow_spark.kernels.media import decode_media, encode_media
+def _decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ragflow_spark.kernels.media import decode_media
 
     for pdf in batches:
         rows = []
-        for d in pdf["doc_id"].astype("int64"):
-            m = decode_media(encode_media(int(d)))
+        for d, payload in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+            m = decode_media(payload)
             rows.append(
                 (
                     int(d),
@@ -88,23 +90,21 @@ def _synth_decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 )
 def media_metadata(spark, sf_dir):
     """binary payload -> typed metadata row, vectorized decode. The
-    oracle recomputes every field arithmetically from doc_id — a full
-    round-trip check of encode -> Arrow binary -> decode plumbing."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_synth_decode_meta, schema=_MEDIA_SCHEMA)
+    payload comes off the parquet scan (ReadSchema shows media:binary,
+    plan-shape-tested); the oracle recomputes every field
+    arithmetically from doc_id — a full round-trip check of
+    encode -> parquet BINARY -> Arrow -> decode plumbing."""
+    d = media_table(spark, sf_dir).select("doc_id", "media")
+    return d.mapInPandas(_decode_meta, schema=_MEDIA_SCHEMA)
 
 
 def _thumb_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ragflow_spark.kernels.media import (
-        decode_media,
-        encode_media,
-        thumbnail_2x,
-    )
+    from ragflow_spark.kernels.media import decode_media, thumbnail_2x
 
     for pdf in batches:
         rows = []
-        for d in pdf["doc_id"].astype("int64"):
-            m = decode_media(encode_media(int(d)))
+        for d, payload in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+            m = decode_media(payload)
             if m.media_type != "image" or m.decode_code != 0:
                 continue
             th = thumbnail_2x(m.payload)
@@ -141,10 +141,10 @@ def _thumb_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """,
 )
 def image_thumbnail_stats(spark, sf_dir):
-    """2x block-mean 'resize' feature kernel over decoded images;
-    integer pixel sum makes the oracle comparison exact (no float
-    rounding hazard)."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    """2x block-mean 'resize' feature kernel over images decoded from
+    the scanned binary column; integer pixel sum makes the oracle
+    comparison exact (no float rounding hazard)."""
+    d = media_table(spark, sf_dir).select("doc_id", "media")
     out = d.mapInPandas(
         _thumb_stats,
         schema="doc_id bigint, thumb_w int, thumb_h int, thumb_sum bigint",
@@ -153,16 +153,12 @@ def image_thumbnail_stats(spark, sf_dir):
 
 
 def _frame_checksums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ragflow_spark.kernels.media import (
-        decode_media,
-        encode_media,
-        sample_frames,
-    )
+    from ragflow_spark.kernels.media import decode_media, sample_frames
 
     for pdf in batches:
         rows = []
-        for d in pdf["doc_id"].astype("int64"):
-            m = decode_media(encode_media(int(d)))
+        for d, payload in zip(pdf["doc_id"].astype("int64"), pdf["media"]):
+            m = decode_media(payload)
             if m.media_type != "video" or m.decode_code != 0:
                 continue
             sampled = sample_frames(m.payload, every=FRAME_EVERY)
@@ -190,10 +186,10 @@ def _frame_checksums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """,
 )
 def frame_sample_checksum(spark, sf_dir):
-    """Frame-sample kernel (every {FRAME_EVERY}rd frame) over decoded
-    fake videos; checksum = sum of each sampled frame's first pixel,
-    integer-exact against the oracle."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    """Frame-sample kernel (every {FRAME_EVERY}rd frame) over videos
+    decoded from the scanned binary column; checksum = sum of each
+    sampled frame's first pixel, integer-exact against the oracle."""
+    d = media_table(spark, sf_dir).select("doc_id", "media")
     return d.mapInPandas(
         _frame_checksums,
         schema="doc_id bigint, n_sampled bigint, first_px_sum bigint",

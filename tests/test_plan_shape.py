@@ -124,3 +124,18 @@ def test_warc_ingestion_is_map_only(spark, tmp_path):
     )
     df = read_warc_pages(spark, str(seg))
     assert "Exchange" not in plan_of(df)
+
+
+def test_media_decode_reads_binary_from_scan(spark, sf_dir, ops, tmp_path, monkeypatch):
+    """The multimodal queries must decode payloads scanned from the
+    parquet BINARY column (media in ReadSchema), not re-synthesize
+    them inside the UDF, and stay map-only (no Exchange)."""
+    monkeypatch.setenv("SPARK_GRAFT_MEDIA_DIR", str(tmp_path / "media"))
+    df = ops.QUERIES["media_metadata"](spark, sf_dir)
+    plan = formatted(df)
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "media:binary" in rs.replace(" ", "")
+    assert "Exchange" not in plan_of(df)
+    # and the decode round-trips the scanned bytes
+    row = df.filter(F.col("doc_id") == 0).collect()[0]
+    assert row.media_type == "image" and row.decode_code == 0
