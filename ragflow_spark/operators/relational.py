@@ -6,6 +6,8 @@ DataFrame API (Catalyst-optimizable, no UDFs). Scale notes inline.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Window, functions as F
 
 from ragflow_spark.functions.predicates import switch_predicate, switch_route
@@ -381,3 +383,68 @@ def intersect_active_segments(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_mktsegment")
     )
     return rich.intersect(active)
+
+
+# full-fidelity template render (conditionals/loops/JSON params)
+
+TEMPLATE_FULL = (
+    "{% if big %}{{ name }} is long{% else %}{{ name }} is short"
+    "{% endif %}|{% for w in words %}[{{ w }}]{% endfor %}|{n} #tag"
+)
+
+TEMPLATE_DOCS = 30  # doc_ids rendered
+TEMPLATE_BIG_CHARS = 250  # 'big' threshold for the conditional
+
+
+@register(
+    "template_render_full",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN n_chars >= {TEMPLATE_BIG_CHARS}
+                THEN 'doc-' || doc_id::VARCHAR || ' is long'
+                ELSE 'doc-' || doc_id::VARCHAR || ' is short' END
+           || '|' ||
+           array_to_string(list_transform(
+             list_slice(str_split(
+               regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+               1, 3),
+             w -> '[' || w || ']'), '')
+           || '|' || n_chars::VARCHAR || '  # tag' AS rendered
+    FROM documents WHERE doc_id < {TEMPLATE_DOCS}
+    """,
+)
+def template_render_full(spark, sf_dir):
+    """C10 Template at full fidelity (reference agent/component/
+    template.py:113-147): sandboxed conditional/loop rendering with
+    strict undefined + autoescape, JSON-decoded parameter values, the
+    `{key}` regex fallback substitution, and `#`-run padding — all in
+    kernels/templater.py, applied per row by an Arrow-batched pandas
+    UDF. Parameters are assembled JVM-side as a to_json(struct(...))
+    column; the oracle precomputes the exact rendered string in SQL.
+
+    Scale shape: pushed-down doc_id filter + map-only render; the
+    template string is a literal, never shuffled."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TEMPLATE_DOCS
+    )
+    words = F.slice(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " "),
+        1,
+        3,
+    )
+    params = F.to_json(
+        F.struct(
+            (F.col("n_chars") >= TEMPLATE_BIG_CHARS).alias("big"),
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("name"),
+            words.alias("words"),
+            F.col("n_chars").alias("n"),
+        )
+    )
+
+    @F.pandas_udf("string")
+    def render(params_json: pd.Series) -> pd.Series:
+        from ragflow_spark.kernels.templater import render_template
+
+        return params_json.map(lambda p: render_template(TEMPLATE_FULL, p))
+
+    return d.select("doc_id", render(params).alias("rendered"))

@@ -217,3 +217,127 @@ def ann_query_topk(spark, sf_dir):
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# --------------------------------------------------- citation insertion
+
+N_ANSWER_SENTS = 20  # doc/vec ids < this are the "answer sentences"
+TK_WEIGHT = 0.7  # token-similarity weight  (reference generate.py:96-101)
+VT_WEIGHT = 0.3  # vector-similarity weight (same call site)
+CITE_THRESHOLD = 0.5  # below this the sentence gets no citation
+
+
+@register(
+    "cite_insertion",
+    oracle=f"""
+    WITH side AS (
+      SELECT d.doc_id AS id,
+             list_distinct(str_split(lower(d.text), ' ')) AS toks,
+             e.embedding::DOUBLE[] AS vec
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), s AS (SELECT * FROM side WHERE id < {N_ANSWER_SENTS}),
+    c AS (SELECT * FROM side WHERE id >= {N_ANSWER_SENTS}),
+    sims AS (
+      SELECT s.id AS sent_id, c.id AS chunk_id,
+             len(list_intersect(s.toks, c.toks)) * 1.0 /
+               greatest(len(s.toks) + len(c.toks)
+                        - len(list_intersect(s.toks, c.toks)), 1) AS tok_sim,
+             list_cosine_similarity(s.vec, c.vec) AS vec_sim
+      FROM s, c
+    ), ranked AS (
+      SELECT sent_id, chunk_id, tok_sim, vec_sim,
+             {TK_WEIGHT} * tok_sim + {VT_WEIGHT} * vec_sim AS hybrid,
+             row_number() OVER (
+               PARTITION BY sent_id
+               ORDER BY {TK_WEIGHT} * tok_sim + {VT_WEIGHT} * vec_sim DESC,
+                        chunk_id
+             ) AS rn
+      FROM sims
+    )
+    SELECT sent_id, chunk_id AS cite_id,
+           round(tok_sim, 4) AS tok_sim, round(vec_sim, 4) AS vec_sim,
+           round(hybrid, 4) AS hybrid
+    FROM ranked WHERE rn = 1 AND hybrid >= {CITE_THRESHOLD}
+    """,
+)
+def cite_insertion(spark, sf_dir):
+    """Citation-insertion similarity join — the reference's only
+    join-like dataflow (agent/component/generate.py:92-125 `set_cite`:
+    insert_citations(answer sentences, chunk token lists, chunk
+    vectors, tkweight=0.7, vtweight=0.3); the scorer itself lives in
+    the absent `rag` package, so the hybrid 0.7*token + 0.3*vector
+    similarity join is re-expressed here). Each answer sentence is
+    joined against the chunk corpus, scored with hybrid = 0.7*Jaccard
+    + 0.3*cosine, and cites its best chunk when the score clears the
+    threshold.
+
+    Scale shape: the sentence side is tiny (one answer) -> broadcast;
+    the chunk corpus streams map-side through the hybrid scoring; the
+    per-sentence argmax shuffles only (sent_id, chunk_id, 3 doubles),
+    never vectors or token arrays."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    side = d.join(e, d.doc_id == e.vec_id).select("doc_id", "toks", "embedding")
+    sents = side.filter(F.col("doc_id") < N_ANSWER_SENTS).select(
+        F.col("doc_id").alias("sent_id"),
+        F.col("toks").alias("stoks"),
+        F.col("embedding").alias("svec"),
+    )
+    chunks = side.filter(F.col("doc_id") >= N_ANSWER_SENTS).select(
+        F.col("doc_id").alias("chunk_id"),
+        F.col("toks").alias("ctoks"),
+        F.col("embedding").alias("cvec"),
+    )
+    j = chunks.crossJoin(F.broadcast(sents))
+
+    inter = F.size(F.array_intersect(F.col("stoks"), F.col("ctoks")))
+    union = F.size("stoks") + F.size("ctoks") - inter
+    tok_sim = inter * F.lit(1.0) / F.greatest(union, F.lit(1))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    vec_sim = dot(F.col("svec"), F.col("cvec")) / (
+        norm(F.col("svec")) * norm(F.col("cvec"))
+    )
+    hybrid = F.lit(TK_WEIGHT) * tok_sim + F.lit(VT_WEIGHT) * vec_sim
+
+    from pyspark.sql import Window
+
+    scored = j.select(
+        "sent_id",
+        "chunk_id",
+        tok_sim.alias("tok_sim"),
+        vec_sim.alias("vec_sim"),
+        hybrid.alias("hybrid"),
+    )
+    w = Window.partitionBy("sent_id").orderBy(
+        F.desc("hybrid"), F.asc("chunk_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("hybrid") >= CITE_THRESHOLD))
+        .select(
+            "sent_id",
+            F.col("chunk_id").alias("cite_id"),
+            F.round("tok_sim", 4).alias("tok_sim"),
+            F.round("vec_sim", 4).alias("vec_sim"),
+            F.round("hybrid", 4).alias("hybrid"),
+        )
+    )

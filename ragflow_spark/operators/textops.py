@@ -278,3 +278,54 @@ def categorize_route(spark, sf_dir):
         .groupBy("route")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ----------------------------------------------- token-budget truncation
+
+TRUNCATE_BUDGET = 32  # tokens kept per document
+
+# Greedy prefix of up to TRUNCATE_BUDGET tokens, each with its leading
+# whitespace — truncation lands exactly on a TOKEN_PATTERN boundary
+# and preserves the original inter-token bytes (unlike join-with-space
+# reconstruction). Both Java regex and RE2 support bounded repetition,
+# so Spark and DuckDB evaluate the same pattern.
+_TRUNC_PATTERN = rf"^((?:\s*(?:{TOKEN_PATTERN})){{0,{TRUNCATE_BUDGET}}})"
+
+
+@register(
+    "token_truncate",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TOKEN_PATTERN}'))::BIGINT
+             AS orig_tokens,
+           len(regexp_extract_all(regexp_extract(text, '{_TRUNC_PATTERN}', 1),
+                                  '{TOKEN_PATTERN}'))::BIGINT AS kept_tokens,
+           length(regexp_extract(text, '{_TRUNC_PATTERN}', 1))::BIGINT
+             AS trunc_chars,
+           md5(regexp_extract(text, '{_TRUNC_PATTERN}', 1)) AS trunc_md5
+    FROM documents
+    """,
+)
+def token_truncate(spark, sf_dir):
+    """Token-budget truncation (reference agent/component/relevant.py:
+    68-69 truncates prompts to the model window via encoder
+    encode/slice/decode; rag.prompts.message_fit_in at generate.py:29
+    applies the same 97%-budget discipline [NOT IN CHECKOUT]). Here:
+    keep the first TRUNCATE_BUDGET TOKEN_PATTERN tokens of each
+    document, cutting exactly at a token boundary and preserving
+    original bytes up to the cut. Entirely JVM-side (regexp_extract
+    with bounded repetition) — no Python in the hot path; the md5 of
+    the truncated text makes the oracle comparison byte-exact."""
+    d = table(spark, sf_dir, "documents")
+    trunc = F.regexp_extract(F.col("text"), _TRUNC_PATTERN, 1)
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(TOKEN_PATTERN)).cast("bigint").alias(
+            "orig_tokens"
+        ),
+        F.regexp_count(trunc, F.lit(TOKEN_PATTERN)).cast("bigint").alias(
+            "kept_tokens"
+        ),
+        F.length(trunc).cast("bigint").alias("trunc_chars"),
+        F.md5(trunc).alias("trunc_md5"),
+    )
