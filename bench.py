@@ -33,8 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# Headline registry queries (one per operator family; the rest run in
-# the driver's correctness pass, no need to re-time all 26 here).
+# Headline registry queries (one per operator family). The JSON
+# "value" field sums extract + these, keeping the headline metric
+# comparable across rounds; EVERY other registry query is also timed
+# and reported in "queries" so per-query regressions are detectable
+# against the table in BENCH/BASELINE.md (±30% ambient VM noise on
+# this box — treat >1.5x as a real regression, see CLAUDE.md).
 HEADLINE_QUERIES = [
     "q1_pricing_summary",
     "revenue_by_nation",
@@ -163,7 +167,8 @@ def main() -> None:
     if not skip_queries:
         import ragflow_spark.operators as ops
 
-        for name in HEADLINE_QUERIES:
+        rest = [q for q in sorted(ops.QUERIES) if q not in HEADLINE_QUERIES]
+        for name in HEADLINE_QUERIES + rest:
             fn = ops.QUERIES[name]
             t0 = time.perf_counter()
             _noop_write(fn(spark, sf_dir))
@@ -174,9 +179,10 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    headline = ["extract", "extract_fat"] + HEADLINE_QUERIES
     result = {
         "metric": "headline_suite_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(v for k, v in timings.items() if k in headline), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,

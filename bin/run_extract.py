@@ -51,6 +51,13 @@ def main() -> None:
     ap.add_argument("--wave-size", type=int, default=8)
     ap.add_argument("--token-budget", type=int, default=256)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--hot-host-sample",
+        type=float,
+        default=None,
+        help="seeded sample rate for the hot-host pre-pass "
+        "(e.g. 0.01 at crawl scale; default exact)",
+    )
     args = ap.parse_args()
 
     from ragflow_spark.session import get_spark
@@ -81,6 +88,7 @@ def main() -> None:
         salt_factor=args.salt_factor,
         wave_size=args.wave_size,
         budget=args.token_budget,
+        hot_host_sample=args.hot_host_sample,
     )
     ex, m = read_outputs(spark, args.output)
     agg = m.groupBy().sum("n_docs", "n_ok", "n_failed").collect()[0]

@@ -255,13 +255,16 @@ def prune(el: Element) -> None:
 
 # ----------------------------------------------------------- sectioning
 
-# Full non-\n whitespace class: ASCII blanks, NEL, NBSP, Ogham mark,
-# en/em/thin/etc spaces (U+2000-U+200A), ZWSP, LS/PS, MMSP, ideographic
-# space.  Anything here collapses to one ASCII space, so the ' ?\n ?'
-# line-edge strip below sees every whitespace flavor (U+3000 around
-# newlines in CJK pages included) — equivalent to a per-line .strip().
+# Full non-\n whitespace class: ASCII blanks + FS/GS/RS/US separators,
+# NEL, NBSP, Ogham mark, en/em/thin/etc spaces (U+2000-U+200A), ZWSP,
+# LS/PS, MMSP, ideographic space — a superset of Python's str.strip()
+# whitespace minus \n.  Anything here collapses to one ASCII space, so
+# the ' ?\n ?' line-edge strip below sees every whitespace flavor
+# (U+3000 around newlines in CJK pages included) — equivalent to a
+# per-line .strip().
 _WS_RUN_RE = re.compile(
-    "[ \\t\\f\\v\\x85\\u00a0\\u1680\\u2000-\\u200b\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+    "[ \\t\\f\\v\\x1c-\\x1f\\x85\\u00a0\\u1680\\u2000-\\u200b"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]+"
 )
 _NL_RUN_RE = re.compile(r"\n{3,}")
 _SPACE_NL_RE = re.compile(r" ?\n ?")

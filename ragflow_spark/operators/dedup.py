@@ -216,17 +216,25 @@ def neardup_jaccard(spark, sf_dir):
     """n-gram Jaccard verification of LSH candidates: bucket-join
     produces candidate pairs; exact Jaccard on distinct shingle sets
     confirms. The join key is the 16-byte bucket, the pair space is
-    only collisions — the 100 TB-safe shape of near-dup detection."""
+    only collisions — the 100 TB-safe shape of near-dup detection.
+
+    The verify join ships raw TEXT, not shingle arrays: each word
+    appears in 3 shingles, so a shingle array weighs ~3x its document
+    and would triple the pair Exchange; instead the pair join carries
+    text (1x) and the distinct shingle sets are re-derived JVM-side
+    after the join (generator expressions — recompute is cheap, the
+    shuffle is the scarce resource at crawl scale). Plan-shape-tested:
+    no array column enters any Exchange."""
     d = _spread(table(spark, sf_dir, "documents"))
     words = F.split(F.lower(F.col("text")), " ")
-    sh = d.filter(F.size(words) >= 3).select(
-        "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
-    )
-    sig = sh.select(
-        "doc_id", "sh", _spark_shingle_digests(F.col("sh")).alias("hs")
+    docs = d.filter(F.size(words) >= 3).select("doc_id", "text")
+    sig = docs.select(
+        "doc_id",
+        _spark_shingle_digests(
+            F.array_distinct(_spark_shingles(F.col("text")))
+        ).alias("hs"),
     ).select(
         "doc_id",
-        "sh",
         *[_spark_minhash_slice(F.col("hs"), k).alias(f"h{k}") for k in range(N_HASHES)],
     )
     allb = _explode_bands(sig)
@@ -242,20 +250,26 @@ def neardup_jaccard(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    paired = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter * F.lit(1.0) / F.greatest(union, F.lit(1)), 4).alias(
-                "jaccard"
-            ),
+            F.array_distinct(_spark_shingles(F.col("text_a"))).alias("sh_a"),
+            F.array_distinct(_spark_shingles(F.col("text_b"))).alias("sh_b"),
         )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter * F.lit(1.0) / F.greatest(union, F.lit(1)), 4).alias(
+            "jaccard"
+        ),
     )
 
 

@@ -64,6 +64,7 @@ def compute_hot_hosts(
     pages: DataFrame,
     fraction: float = HOT_HOST_FRACTION,
     n_splits: int | None = None,
+    sample: float | None = None,
 ) -> dict[str, int]:
     """Cheap pre-pass: per-host salt factors, SIZE-PROPORTIONAL.
 
@@ -73,7 +74,18 @@ def compute_hot_hosts(
     None) gets salt factor ceil(share * n_splits) so no single split
     ends up larger than ~1x the target — this is what keeps stragglers
     bounded when one host owns 30% of a crawl. Deterministic for a
-    given input."""
+    given input (and a given `sample` seed).
+
+    `sample`: at crawl scale an exact count + full-url groupBy means
+    two complete passes over the url column just to find hosts owning
+    >=5% of the corpus — a seeded 1% Bernoulli sample sees every such
+    host with overwhelming probability and estimates its share to
+    well under a salt-factor step. Pass e.g. 0.01 for large inputs
+    (bin/run_extract.py --hot-host-sample); None keeps the exact
+    two-pass mode used by tests and goldens. Shares are ratios, so no
+    rescaling by the sampling rate is needed."""
+    if sample is not None and 0 < sample < 1:
+        pages = pages.select("url").sample(fraction=sample, seed=42)
     total = pages.count()
     if total == 0:
         return {}

@@ -139,3 +139,27 @@ def test_media_decode_reads_binary_from_scan(spark, sf_dir, ops, tmp_path, monke
     # and the decode round-trips the scanned bytes
     row = df.filter(F.col("doc_id") == 0).collect()[0]
     assert row.media_type == "image" and row.decode_code == 0
+
+
+def test_neardup_pair_exchange_carries_no_arrays(spark, sf_dir, ops):
+    """The candidate-pair verify join must ship text (1x), never
+    shingle arrays (~3x the document): walk every Exchange in the
+    executed plan and assert no array-typed attribute crosses it."""
+    df = ops.QUERIES["neardup_jaccard"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan()
+
+    offending = []
+
+    def walk(node):
+        if "Exchange" in node.nodeName():
+            out = node.output()
+            for i in range(out.length()):
+                attr = out.apply(i)
+                if "Array" in attr.dataType().toString():
+                    offending.append(f"{node.nodeName()}: {attr.toString()}")
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    assert not offending, offending

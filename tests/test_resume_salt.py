@@ -101,3 +101,19 @@ def test_kill_resume_byte_identical(spark, pages, tmp_path):
     n_pages = pages.count()
     assert m_r.agg(F.sum("n_docs")).collect()[0][0] == n_pages
     assert m_r.groupBy("split_id").count().filter("count > 1").count() == 0
+
+
+def test_hot_host_sampling_finds_same_hosts(spark, pages):
+    """The seeded-sample pre-pass must find the same hot-host SET as
+    the exact two-pass mode (the skewed host owns ~30% of pages, far
+    above the noise floor of a 50% sample on this corpus), with a
+    size-proportional factor within one step of exact."""
+    from ragflow_spark.plans.pipeline import compute_hot_hosts
+
+    exact = compute_hot_hosts(pages, n_splits=16)
+    sampled = compute_hot_hosts(pages, n_splits=16, sample=0.5)
+    assert set(sampled) == set(exact)
+    for h, f in exact.items():
+        assert abs(sampled[h] - f) <= 1, (h, f, sampled[h])
+    # determinism: same seed -> same estimate
+    assert sampled == compute_hot_hosts(pages, n_splits=16, sample=0.5)
