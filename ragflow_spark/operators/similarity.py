@@ -72,6 +72,50 @@ def cosine_topk(spark, sf_dir):
     )
 
 
+def _plane_signs(k: int) -> list[float]:
+    """Hyperplane k as +-1.0 doubles, precomputed driver-side.
+
+    Semantics are UNCHANGED from the md5 derivation the DuckDB oracle
+    uses (sign = first hex char of md5('plane-{k}-{d}') in
+    '02468ace'); hashlib.md5 == Spark md5 == DuckDB md5 on UTF-8
+    bytes. Precomputing matters: the ±1 vectors are row-independent
+    constants, but Catalyst does not constant-fold higher-order
+    functions, so deriving them with an in-row transform(... md5 ...)
+    expression re-hashed 8 planes x 64 dims = 512 md5 calls PER ROW —
+    the dominant cost of the whole bucketing query at any scale."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"plane-{k}-{d}".encode()).hexdigest()[0] in "02468ace"
+        else -1.0
+        for d in range(DIM)
+    ]
+
+
+def _plane_sql_literal(k: int) -> str:
+    vals = ", ".join(
+        "1.0D" if v > 0 else "-1.0D" for v in _plane_signs(k)
+    )
+    return f"array({vals})"
+
+
+def _bucket_sql(n_planes: int) -> str:
+    """n-bit sign bucket as ONE expression: a single lambda over a 2D
+    plane literal. One lambda body = one codegen unit; the earlier
+    8-separate-zip_with formulation spent ~6 s of first-use parse +
+    janino compile on its 8x larger expression tree."""
+    planes2d = "array(" + ", ".join(
+        _plane_sql_literal(k) for k in range(n_planes)
+    ) + ")"
+    return (
+        f"array_join(transform({planes2d}, p -> CASE WHEN "
+        "aggregate(zip_with(embedding, p, (x, y) -> cast(x as double) * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v) >= 0 "
+        "THEN '1' ELSE '0' END), '')"
+    )
+
+
 @register(
     "ann_lsh_bucketed",
     oracle=f"""
@@ -100,23 +144,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     scanning all vectors. Output = bucket histogram (buckets holding
     >= 2 vectors)."""
     e = table(spark, sf_dir, "embeddings")
-    bit_cols = []
-    for k in range(N_PLANES):
-        plane = F.expr(
-            f"transform(sequence(0, {DIM - 1}), d -> CASE WHEN "
-            f"locate(substr(md5(concat('plane-{k}-', cast(d as string))), 1, 1), "
-            f"'02468ace') > 0 THEN cast(1.0 as double) "
-            f"ELSE cast(-1.0 as double) END)"
-        )
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), plane, lambda x, y: x.cast("double") * y
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit_cols.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    bucket = F.concat(*bit_cols)
+    bucket = F.expr(_bucket_sql(N_PLANES))
     return (
         e.select(bucket.alias("bucket"))
         .groupBy("bucket")
@@ -136,17 +164,7 @@ def _bucket_expr(n_planes: int = QUERY_PLANES):
     """The n-bit sign-LSH bucket as one SQL expression over
     `embedding` (shared by indexing and query sides so both hash
     identically)."""
-    bits = []
-    for k in range(n_planes):
-        bits.append(
-            f"CASE WHEN aggregate(zip_with(embedding, "
-            f"transform(sequence(0, {DIM - 1}), d -> CASE WHEN "
-            f"locate(substr(md5(concat('plane-{k}-', cast(d as string))), 1, 1), "
-            f"'02468ace') > 0 THEN cast(1.0 as double) ELSE cast(-1.0 as double) END), "
-            f"(x, y) -> cast(x as double) * y), cast(0.0 as double), "
-            f"(acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END"
-        )
-    return F.expr("concat(" + ", ".join(bits) + ")")
+    return F.expr(_bucket_sql(n_planes))
 
 
 def _duck_bucket_sql(n_planes: int = QUERY_PLANES) -> str:

@@ -79,18 +79,30 @@ def _marker_count_sql(lang: str) -> str:
 )
 def lang_id(spark, sf_dir):
     """n-gram/stopword language-ID heuristic (round brief). Pure
-    Column expressions; ties broken by fixed priority en>de>es>fr."""
+    Column expressions; ties broken by fixed priority en>de>es>fr.
+
+    Staged projections (pad once -> count once per language -> route)
+    so each regexp runs exactly once per row: inlining the counts into
+    the when-chain re-evaluates up to 12 regexp_counts per branch
+    test, and Catalyst's CollapseProject would happily inline them
+    back if the aliases were single-use — they are not, so the stages
+    survive into the physical plan."""
     d = table(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    padded = d.select(
+        F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")).alias("padded")
+    )
 
     def count_markers(lang):
         c = None
         for t in _LANG_MARKERS[lang]:
-            cnt = F.regexp_count(padded, F.lit(f"[ ]{t}[ ]"))
+            cnt = F.regexp_count(F.col("padded"), F.lit(f"[ ]{t}[ ]"))
             c = cnt if c is None else c + cnt
         return c
 
-    en, de, es, fr = (count_markers(x) for x in ("en", "de", "es", "fr"))
+    counts = padded.select(
+        *[count_markers(x).alias(x) for x in ("en", "de", "es", "fr")]
+    )
+    en, de, es, fr = (F.col(x) for x in ("en", "de", "es", "fr"))
     guess = (
         F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
         .when((de >= es) & (de >= fr) & (de > 0), "de")
@@ -98,7 +110,7 @@ def lang_id(spark, sf_dir):
         .when(fr > 0, "fr")
         .otherwise("und")
     )
-    return d.select(guess.alias("guess")).groupBy("guess").agg(
+    return counts.select(guess.alias("guess")).groupBy("guess").agg(
         F.count(F.lit(1)).alias("n")
     )
 
