@@ -14,7 +14,7 @@ hashing scheme based on p-stable distributions" (SoCG 2004).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ragflow_spark.operators.registry import register, table
 
@@ -358,4 +358,188 @@ def cite_insertion(spark, sf_dir):
             F.round("vec_sim", 4).alias("vec_sim"),
             F.round("hybrid", 4).alias("hybrid"),
         )
+    )
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+NEARDUP_COS_THRESHOLD = 0.25
+
+
+@register(
+    "neardup_embedding",
+    oracle=f"""
+    WITH b AS (
+      SELECT e.vec_id, e.embedding,
+             {_duck_bucket_sql(N_PLANES)} AS bucket
+      FROM embeddings e
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                        y.embedding::DOUBLE[]), 4) AS cos
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+                                 y.embedding::DOUBLE[])
+          >= {NEARDUP_COS_THRESHOLD}
+    """,
+)
+def neardup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (round brief's fifth
+    dedup variant): sign-LSH buckets gate the pair space (same 8-bit
+    bucket == 8 agreeing hyperplane signs -> high prior on closeness),
+    exact cosine >= {NEARDUP_COS_THRESHOLD} confirms. The join key is
+    the 8-char bucket and the pair space is bucket collisions only —
+    the same sublinear shape as the text near-dup path, but on
+    vectors, so it catches semantic dupes exact/minhash text matching
+    misses (translated boilerplate, templated rewrites)."""
+    e = table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", F.expr(_bucket_sql(N_PLANES)).alias("bucket"))
+    x = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    y = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = x.join(
+        y,
+        (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
+    )
+
+    def dot(a, c):
+        return F.aggregate(
+            F.zip_with(a, c, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda p: p.cast("double") * p.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    cos = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= NEARDUP_COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+# ----------------------------------------------------------- IVF ANN
+
+IVF_CENTROID_STRIDE = 50  # vec_id % stride == 7 -> centroid
+IVF_CENTROID_PICK = 7
+IVF_NPROBE = 2  # query probes its 2 nearest cells
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return f"list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = {IVF_CENTROID_PICK}
+    ), assigned AS (
+      SELECT vec_id, label, embedding, cent_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos('e.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ), qcells AS (
+      SELECT cent_id FROM (
+        SELECT c.cent_id,
+               row_number() OVER (
+                 ORDER BY {_duck_cos('q.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings q, cents c WHERE q.vec_id = {QUERY_VEC_ID}
+      ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT a.vec_id, a.label,
+           round({_duck_cos('a.embedding', 'q.embedding')}, 4) AS cos
+    FROM assigned a
+    JOIN qcells ON a.cent_id = qcells.cent_id,
+    (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos DESC, a.vec_id LIMIT {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (the round brief's second scale path next to
+    LSH): a deterministic coarse quantizer — every
+    {IVF_CENTROID_STRIDE}th vector is a centroid — partitions the
+    corpus into cells by nearest-centroid (cosine); a query probes
+    its {IVF_NPROBE} nearest cells and exact-rescores only those
+    candidates. At 10^9 vectors the cell assignment is a map-side pass
+    against a broadcast centroid table (k centroids << corpus), the
+    index is written partitioned by cent_id, and a query touches
+    nprobe/k of the data — the classic IVF-flat trade-off, with
+    centroids chosen deterministically instead of by k-means so the
+    oracle can replay the exact assignment."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(
+        F.col("vec_id") % IVF_CENTROID_STRIDE == IVF_CENTROID_PICK
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+
+    def dot(a, c):
+        return F.aggregate(
+            F.zip_with(a, c, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda p: p.cast("double") * p.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    def cosine(a, c):
+        return dot(a, c) / (norm(a) * norm(c))
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cent_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("embedding"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cent_id")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    qcells = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("qcos", cosine(F.col("qe"), F.col("cvec")))
+        .orderBy(F.desc("qcos"), F.asc("cent_id"))
+        .limit(IVF_NPROBE)
+        .select("cent_id")
+    )
+    cand = assigned.join(F.broadcast(qcells), "cent_id").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    cos = cosine(F.col("embedding"), F.col("qe"))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
     )
