@@ -163,3 +163,32 @@ def test_neardup_pair_exchange_carries_no_arrays(spark, sf_dir, ops):
 
     walk(plan)
     assert not offending, offending
+
+
+def test_cite_insertion_broadcasts_sentence_side(spark, sf_dir, ops):
+    """The answer-sentence side is tiny (one answer) and must
+    broadcast; the chunk corpus streams map-side through the scoring,
+    and only (sent_id, chunk_id, doubles) reach the argmax window."""
+    df = ops.QUERIES["cite_insertion"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+
+
+def test_ann_ivf_broadcasts_centroids(spark, sf_dir, ops):
+    """IVF assignment must be a map-side pass against broadcast
+    centroids — at 10^9 vectors a shuffled centroid join would move
+    the whole corpus; top-k must stay TakeOrderedAndProject."""
+    df = ops.QUERIES["ann_ivf_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_truncate_stays_jvm_side(spark, sf_dir, ops):
+    """Budget truncation is pure Column expressions — no
+    Python/pandas evaluation node may appear in the plan."""
+    df = ops.QUERIES["token_truncate"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the '*' prefix marks whole-stage-codegen'd operators
+    assert "*(1) Project" in plan or "* Project" in formatted(df)
