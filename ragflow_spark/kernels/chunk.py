@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import re
 from bisect import bisect_left
-from collections import deque
 from itertools import islice
 
 DEFAULT_TOKEN_BUDGET = 256
@@ -126,19 +125,21 @@ def _spans_for_segment(
 
 
 def _hard_split(piece: str, budget: int) -> list[Span3]:
-    """Cut every `budget`-th token end. The loop consumes the match
-    iterator at C speed (deque+islice) instead of a per-token Python
-    body — a 500 kB single node (t10) has ~10^5 tokens."""
-    n = len(_TOKEN_RE.findall(piece))
+    """Cut every `budget`-th token end in ONE pass: islice jumps the
+    match iterator at C speed (no per-token Python body, and no
+    separate full count scan — a 500 kB single node (t10) has ~10^5
+    tokens); only the sub-budget tail is re-counted."""
     spans: list[Span3] = []
     start = 0
     it = _TOKEN_RE.finditer(piece)
-    for _ in range(n // budget):
-        last = deque(islice(it, budget), maxlen=1)[0]
-        spans.append((start, last.end(), budget))
-        start = last.end()
+    while True:
+        m = next(islice(it, budget - 1, budget), None)
+        if m is None:
+            break
+        spans.append((start, m.end(), budget))
+        start = m.end()
     if start < len(piece):
-        spans.append((start, len(piece), n % budget))
+        spans.append((start, len(piece), num_tokens(piece[start:])))
     return spans
 
 

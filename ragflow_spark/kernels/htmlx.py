@@ -113,63 +113,324 @@ class Element:
         self.children: list[object] = []  # Element | str
 
 
+def _dom_open(stack: list[Element], tag: str, attrs_list) -> None:
+    """Shared DOM action for a start tag (tag already lowercase)."""
+    attrs = {}
+    for k, v in attrs_list:
+        if k not in attrs:  # first occurrence wins, deterministic
+            attrs[k.lower()] = v if v is not None else ""
+    if tag in _P_CLOSERS and len(stack) > 1 and stack[-1].tag == "p":
+        stack.pop()
+    if tag in _AUTOCLOSE and len(stack) > 1 and stack[-1].tag in _AUTOCLOSE[tag]:
+        stack.pop()
+    el = Element(tag, attrs)
+    stack[-1].children.append(el)
+    if tag not in VOID_TAGS:
+        stack.append(el)
+
+
+def _dom_close(stack: list[Element], tag: str) -> None:
+    """Shared DOM action for an end tag: close up to the nearest
+    matching ancestor; stray end tags ignored (t08_malformed)."""
+    for i in range(len(stack) - 1, 0, -1):
+        if stack[i].tag == tag:
+            del stack[i:]
+            return
+
+
 class _TreeBuilder(HTMLParser):
     """Tolerant DOM builder: stray end tags ignored, unclosed tags
     closed by ancestors, entities decoded (convert_charrefs=True is
-    stdlib-stable and deterministic). Handles fixture t08_malformed."""
+    stdlib-stable and deterministic). Handles fixture t08_malformed.
+
+    This is the REFERENCE implementation: the hot path uses
+    fast_parse_dom below, and tests/test_fast_parser.py proves tree
+    equality between the two on goldens, the synthetic corpus, and
+    hypothesis fuzz."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Element("#root", {})
         self.stack: list[Element] = [self.root]
 
-    # -- helpers
-    def _open(self, tag: str, attrs_list) -> None:
-        attrs = {}
-        for k, v in attrs_list:
-            if k not in attrs:  # first occurrence wins, deterministic
-                attrs[k.lower()] = v if v is not None else ""
-        if tag in _P_CLOSERS:
-            self._implicit_close(frozenset(["p"]))
-        if tag in _AUTOCLOSE:
-            self._implicit_close(_AUTOCLOSE[tag])
-        el = Element(tag, attrs)
-        self.stack[-1].children.append(el)
-        if tag not in VOID_TAGS:
-            self.stack.append(el)
-
-    def _implicit_close(self, closable: frozenset[str]) -> None:
-        if len(self.stack) > 1 and self.stack[-1].tag in closable:
-            self.stack.pop()
-
     # -- HTMLParser hooks
     def handle_starttag(self, tag: str, attrs) -> None:
-        self._open(tag.lower(), attrs)
+        _dom_open(self.stack, tag.lower(), attrs)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         t = tag.lower()
-        self._open(t, attrs)
+        _dom_open(self.stack, t, attrs)
         if t not in VOID_TAGS:  # self-closing non-void: pop right back
             self.stack.pop()
 
     def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
-                return
-        # stray end tag: ignore (t08_malformed)
+        _dom_close(self.stack, tag.lower())
 
     def handle_data(self, data: str) -> None:
         if data:
             self.stack[-1].children.append(data)
 
 
-def parse_dom(text: str) -> Element:
+def parse_dom_reference(text: str) -> Element:
+    """Stdlib-html.parser DOM build — the behavioral oracle for
+    fast_parse_dom (differential-tested)."""
     b = _TreeBuilder()
     b.feed(text)
     b.close()
     return b.root
+
+
+# --------------------------------------------- fast single-pass parser
+#
+# A from-scratch tokenizer reproducing the exact event stream of
+# stdlib html.parser(convert_charrefs=True) for the whole-document
+# (single feed + close) case, with the incremental-buffer machinery,
+# per-event line/column tracking (updatepos counts newlines per event)
+# and handler dispatch removed, and a one-regex fast path for the
+# dominant attribute-less <tag> / </tag> forms. ~2.5-3x faster than
+# html.parser on crawl pages. Tokenization rules ported from CPython
+# 3.11 html/parser.py + _markupbase.py (public stdlib) — each branch
+# below cites the behavior it mirrors.
+
+from html import unescape as _unescape  # noqa: E402  (kernel-local)
+
+_CDATA_ELEMS = ("script", "style")  # HTMLParser.CDATA_CONTENT_ELEMENTS
+_SIMPLE_OPEN_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)\s*>")
+_SIMPLE_CLOSE_RE = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_TAGFIND_RE = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND_RE = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_LOCATESTART_RE = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+_ENDTAGFIND_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENTCLOSE_RE = re.compile(r"--\s*>")
+_MARKEDCLOSE_RE = re.compile(r"]\s*]\s*>")
+_MSMARKEDCLOSE_RE = re.compile(r"]\s*>")
+_DECLNAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_CDATA_CLOSE_RES = {
+    e: re.compile(rf"</\s*{e}\s*>", re.IGNORECASE) for e in _CDATA_ELEMS
+}
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+_BOGUS_NEXT = frozenset("abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _decl_end(text: str, j: int) -> int:
+    """'<!...' constructs: return end offset or -1 (incomplete at EOF).
+    Mirrors HTMLParser.parse_html_declaration + _markupbase; raises
+    AssertionError on unknown marked-section keywords exactly like the
+    stdlib (extract_document maps it to CODE_INTERNAL either way)."""
+    if text.startswith("<!--", j):  # parse_comment
+        m = _COMMENTCLOSE_RE.search(text, j + 4)
+        return m.end() if m else -1
+    if text.startswith("<![", j):  # parse_marked_section
+        if j + 3 == len(text):
+            return -1  # _scan_name: i == n -> (None, -1)
+        m = _DECLNAME_RE.match(text, j + 3)
+        if not m:  # _scan_name raises on a non-name char
+            raise AssertionError(
+                "expected name token at %r" % text[j : j + 20]
+            )
+        if j + 3 + len(m.group()) == len(text):
+            return -1  # _scan_name end-of-buffer
+        name = m.group().strip().lower()
+        if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+            close = _MARKEDCLOSE_RE.search(text, j + 3)
+        elif name in ("if", "else", "endif"):
+            close = _MSMARKEDCLOSE_RE.search(text, j + 3)
+        else:
+            raise AssertionError(
+                "unknown status keyword %r in marked section"
+                % text[j + 3 : j + 3 + len(m.group())]
+            )
+        return close.end() if close else -1
+    if text[j : j + 9].lower() == "<!doctype":
+        gtpos = text.find(">", j + 9)
+        return -1 if gtpos == -1 else gtpos + 1
+    pos = text.find(">", j + 2)  # parse_bogus_comment
+    return -1 if pos == -1 else pos + 1
+
+
+def _whole_start_tag_end(text: str, j: int) -> int:
+    """HTMLParser.check_for_whole_start_tag, end-of-input == EOF."""
+    m = _LOCATESTART_RE.match(text, j)
+    k = m.end()
+    nxt = text[k : k + 1]
+    if nxt == ">":
+        return k + 1
+    if nxt == "/":
+        # stdlib: '/>'-> k+2; else startswith('/') is always true ->
+        # -1 ('buffer boundary' == EOF here; its bogus-input branch is
+        # unreachable because the locater only stops at '/' before '>')
+        return k + 2 if text.startswith("/>", k) else -1
+    if nxt == "":
+        return -1
+    if nxt in _BOGUS_NEXT:
+        return -1
+    return k if k > j else j + 1
+
+
+def fast_parse_dom(text: str) -> Element:
+    root = Element("#root", {})
+    stack = [root]
+    n = len(text)
+    i = 0
+    cdata_elem = None  # inside <script>/<style>: raw data until close
+    while i < n:
+        if cdata_elem is not None:
+            m = _CDATA_CLOSE_RES[cdata_elem].search(text, i)
+            if not m:  # unterminated: goahead drops the tail
+                return root
+            if m.start() > i:
+                stack[-1].children.append(text[i : m.start()])
+            _dom_close(stack, cdata_elem)
+            cdata_elem = None
+            i = m.end()
+            continue
+        j = text.find("<", i)
+        if j < 0:
+            seg = _unescape(text[i:]) if "&" in text[i:] else text[i:]
+            if seg:  # unescape can yield '' (invalid charrefs drop)
+                stack[-1].children.append(seg)
+            return root
+        if j > i:
+            seg = text[i:j]
+            if "&" in seg:
+                seg = _unescape(seg)
+            if seg:
+                stack[-1].children.append(seg)
+        c = text[j + 1 : j + 2]
+        if c in _ASCII_LETTERS:  # starttagopen
+            m = _SIMPLE_OPEN_RE.match(text, j)
+            if m:  # fast path: <tag> with no attributes
+                tag = m.group(1).lower()
+                _dom_open(stack, tag, ())
+                if tag in _CDATA_ELEMS:
+                    cdata_elem = tag
+                i = m.end()
+                continue
+            endpos = _whole_start_tag_end(text, j)
+            if endpos < 0:
+                k = -1
+            else:  # parse_starttag body
+                tm = _TAGFIND_RE.match(text, j + 1)
+                tag = tm.group(1).lower()
+                k2 = tm.end()
+                attrs = []
+                while k2 < endpos:
+                    am = _ATTRFIND_RE.match(text, k2)
+                    if not am:
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif (
+                        attrvalue[:1] == "'" == attrvalue[-1:]
+                        or attrvalue[:1] == '"' == attrvalue[-1:]
+                    ):
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = _unescape(attrvalue)
+                    attrs.append((attrname.lower(), attrvalue))
+                    k2 = am.end()
+                end = text[k2:endpos].strip()
+                if end not in (">", "/>"):
+                    stack[-1].children.append(text[j:endpos])
+                    i = endpos
+                    continue
+                if end == "/>":  # handle_startendtag
+                    _dom_open(stack, tag, attrs)
+                    if tag not in VOID_TAGS:
+                        stack.pop()
+                else:
+                    _dom_open(stack, tag, attrs)
+                    if tag in _CDATA_ELEMS:
+                        cdata_elem = tag
+                i = endpos
+                continue
+        elif c == "/":
+            m = _SIMPLE_CLOSE_RE.match(text, j)
+            if m:  # fast path: </tag>
+                _dom_close(stack, m.group(1).lower())
+                i = m.end()
+                continue
+            # parse_endtag (non-CDATA branches only — CDATA handled above)
+            gt = text.find(">", j + 1)
+            if gt < 0:
+                k = -1
+            else:
+                gtpos = gt + 1
+                em = _ENDTAGFIND_RE.match(text, j)
+                if em:
+                    _dom_close(stack, em.group(1).lower())
+                    i = gtpos
+                    continue
+                nm = _TAGFIND_RE.match(text, j + 2)
+                if not nm:
+                    if text[j : j + 3] == "</>":
+                        i = j + 3
+                        continue
+                    pos = text.find(">", j + 2)  # bogus comment
+                    k = -1 if pos == -1 else pos + 1
+                else:
+                    tagname = nm.group(1).lower()
+                    gtpos = text.find(">", nm.end())
+                    _dom_close(stack, tagname)
+                    i = gtpos + 1
+                    continue
+        elif text.startswith("<!--", j):
+            m = _COMMENTCLOSE_RE.search(text, j + 4)
+            k = m.end() if m else -1
+        elif text.startswith("<?", j):
+            pi = text.find(">", j + 2)
+            k = -1 if pi == -1 else pi + 1
+        elif text.startswith("<!", j):
+            k = _decl_end(text, j)
+        elif j + 1 < n:
+            stack[-1].children.append("<")
+            i = j + 1
+            continue
+        else:  # lone '<' at EOF -> trailing data flush
+            stack[-1].children.append("<")
+            return root
+        if k < 0:  # incomplete at EOF: goahead(end=1) recovery
+            k = text.find(">", j + 1)
+            if k < 0:
+                k = text.find("<", j + 1)
+                if k < 0:
+                    k = j + 1
+            else:
+                k += 1
+            seg = text[j:k]
+            if "&" in seg:
+                seg = _unescape(seg)
+            if seg:
+                stack[-1].children.append(seg)
+        i = k
+    return root
+
+
+def parse_dom(text: str) -> Element:
+    return fast_parse_dom(text)
 
 
 # ------------------------------------------------------------ pruning
@@ -281,10 +542,15 @@ def normalize_text(s: str) -> str:
     stripping every line (property-tested idempotence + invariants in
     tests/test_properties.py)."""
     s = unicodedata.normalize("NFC", s)
-    s = s.replace("\r\n", "\n").replace("\r", "\n")
+    if "\r" in s:
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
     s = _WS_RUN_RE.sub(" ", s)
-    s = _SPACE_NL_RE.sub("\n", s)
-    s = _NL_RUN_RE.sub("\n\n", s)
+    # most sections are single-line: the two newline regexes can only
+    # match when a newline exists at all, and `in` is ~10x cheaper
+    # than a no-match regex scan
+    if "\n" in s:
+        s = _SPACE_NL_RE.sub("\n", s)
+        s = _NL_RUN_RE.sub("\n\n", s)
     return s.strip()
 
 
