@@ -11,8 +11,10 @@ specified here from scratch and pinned by our own fixtures
 
 Pipeline (document order only, no dict-order dependence):
 
-  1. parse bytes -> lightweight DOM (stdlib html.parser, auto-close
-     rules for p/li/tr/td/th/option; entities decoded by the parser)
+  1. parse bytes -> lightweight DOM (fast_parse_dom — a from-scratch
+     tokenizer differentially tested against stdlib html.parser;
+     auto-close rules for p/li/tr/td/th/option; entities decoded by
+     the parser)
   2. prune non-content subtrees (script/style/noscript/head/...)
   3. prune boilerplate subtrees: tag in {nav, aside, header, footer}
      or class/id matching the stop-word regex (cookie banner, sidebar,
