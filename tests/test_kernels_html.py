@@ -146,3 +146,17 @@ def test_determinism_byte_identical():
         s1, c1, _ = html_extract(p1)
         s2, c2, _ = html_extract(p2)
         assert s1 == s2 and c1 == c2
+
+
+def test_pathological_nesting_is_error_as_row():
+    """A 5000-deep nest (attack/broken page; real crawls stay <300)
+    must become a coded failure row, never a task-killing exception;
+    realistic depths extract normally."""
+    from ragflow_spark.kernels.extract import extract_document
+
+    ok = extract_document(
+        ("<div>" * 300 + "<p>deep but fine</p>" + "</div>" * 300).encode()
+    )
+    assert ok.parse_status == "ok" and ok.extracted_text == "deep but fine"
+    bad = extract_document(("<div>" * 5000 + "x" + "</div>" * 5000).encode())
+    assert bad.parse_status == "failed" and bad.parse_code != 0
