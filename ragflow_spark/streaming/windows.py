@@ -75,3 +75,24 @@ def run_to_memory(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(query_name)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    re-deliveries that arrive within the watermark horizon
+    (`dropDuplicatesWithinWatermark` — state for a key is evicted once
+    the watermark passes its event time, so state size is bounded by
+    the horizon, not the stream length; the classic unbounded-state
+    trap of plain dropDuplicates on streams).
+
+    The batch analog is `dedup_exact`; at crawl scale this is how
+    re-crawled / re-queued pages are suppressed at ingest before the
+    expensive extraction kernel runs."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -201,3 +201,35 @@ def test_watermark_append_emits_only_finalized_windows(spark, tmp_path):
     # the 10:00 window is still open at end-of-input (watermark 08:00
     # < its end) -> withheld in append mode
     assert "2024-01-01 10:00:00" not in starts
+
+
+def test_dedup_stream_drops_redeliveries(spark, events_dir, tmp_path):
+    """Re-delivered event_ids within the watermark horizon must be
+    dropped: streaming dedup of (events ++ events again) equals the
+    batch distinct-by-key of one copy."""
+    import os
+    import shutil
+
+    from ragflow_spark.streaming.windows import (
+        dedup_stream,
+        events_stream,
+        run_to_memory,
+    )
+
+    dup_dir = tmp_path / "dup_events"
+    dup_dir.mkdir()
+    i = 0
+    for f in sorted(os.listdir(events_dir)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(events_dir, f), dup_dir / f"a_{i}.parquet")
+            shutil.copy(os.path.join(events_dir, f), dup_dir / f"b_{i}.parquet")
+            i += 1
+    out = run_to_memory(
+        dedup_stream(events_stream(spark, str(dup_dir))),
+        "dedup_stream_t",
+        str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+    )
+    batch = spark.read.parquet(str(dup_dir))
+    assert out.count() == batch.select("event_id").distinct().count()
+    assert out.count() * 2 == batch.count()
