@@ -525,9 +525,16 @@ def prune(el: Element) -> None:
 # the ' ?\n ?' line-edge strip below sees every whitespace flavor
 # (U+3000 around newlines in CJK pages included) — equivalent to a
 # per-line .strip().
+# Only runs that actually CHANGE match (2+ chars, or one non-space
+# whitespace char): a single ASCII space maps to itself, and typical
+# text is single-spaced, so matching it too made every space a sub
+# match. Equivalent to the plain [class]+ collapse by construction.
+_WS_NONSPACE = (
+    "\\t\\f\\v\\x1c-\\x1f\\x85\\u00a0\\u1680\\u2000-\\u200b"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000"
+)
 _WS_RUN_RE = re.compile(
-    "[ \\t\\f\\v\\x1c-\\x1f\\x85\\u00a0\\u1680\\u2000-\\u200b"
-    "\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+    "[ " + _WS_NONSPACE + "]{2,}|[" + _WS_NONSPACE + "]"
 )
 _NL_RUN_RE = re.compile(r"\n{3,}")
 _SPACE_NL_RE = re.compile(r" ?\n ?")
