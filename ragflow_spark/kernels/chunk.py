@@ -99,29 +99,45 @@ def _spans_for_segment(
     prev_cut = 0
     for cut in _cut_points(seg):
         piece = seg[prev_cut:cut]
-        if cut - prev_cut >= _BIG_PIECE_CHARS:
-            # huge piece: one finditer pass yields BOTH the count and
-            # the hard-split cut ends — the count-then-split two-scan
-            # costs ~1.7x on a 500 kB node (t10)
-            ends = [m.end() for m in _TOKEN_RE.finditer(piece)]
-            pt = len(ends)
-        else:
-            ends = None
-            pt = num_tokens(piece)
+        # Huge piece (t10_huge_node): a BOUNDED probe (steps 2*budget+1
+        # matches at C speed) decides hard-split without a full count —
+        # an exact count of a 500 kB node would be a second full regex
+        # scan whose result is never used again after the split.
+        if cut - prev_cut >= _BIG_PIECE_CHARS and (
+            next(
+                islice(_TOKEN_RE.finditer(piece), 2 * budget, 2 * budget + 1),
+                None,
+            )
+            is not None
+        ):
+            # pt > 2*budget exactly; close any open span, then split.
+            # (When tok_count > 0 the original close-if-over-budget
+            # branch always fired here since pt > budget, and start <
+            # prev_cut holds whenever anything accumulated — the two
+            # paths collapse to this one condition.)
+            if start < prev_cut:
+                spans.append((start, prev_cut, tok_count))
+            spans.extend(
+                (prev_cut + a, prev_cut + b, n)
+                for a, b, n in _hard_split(piece, budget)
+            )
+            start = cut
+            tok_count = 0
+            prev_cut = cut
+            continue
+        pt = num_tokens(piece)
         if tok_count > 0 and tok_count + pt > budget:
             spans.append((start, prev_cut, tok_count))
             start = prev_cut
             tok_count = 0
         if pt > 2 * budget:
-            # pathological single sentence (t10_huge_node): hard split
+            # token-dense small piece: same hard split
             if start < prev_cut:
                 spans.append((start, prev_cut, tok_count))
-            hs = (
-                _hard_split_from_ends(ends, len(piece), budget)
-                if ends is not None
-                else _hard_split(piece, budget)
+            spans.extend(
+                (prev_cut + a, prev_cut + b, n)
+                for a, b, n in _hard_split(piece, budget)
             )
-            spans.extend((prev_cut + a, prev_cut + b, n) for a, b, n in hs)
             start = cut
             tok_count = 0
         else:
@@ -134,22 +150,7 @@ def _spans_for_segment(
     ]
 
 
-_BIG_PIECE_CHARS = 4096  # pieces above this use the fused-scan path
-
-
-def _hard_split_from_ends(
-    ends: list[int], piece_len: int, budget: int
-) -> list[Span3]:
-    """_hard_split when the token end offsets are already known: slice
-    every budget-th end at C speed. Same output by construction."""
-    spans: list[Span3] = []
-    start = 0
-    for e in ends[budget - 1 :: budget]:
-        spans.append((start, e, budget))
-        start = e
-    if start < piece_len:
-        spans.append((start, piece_len, len(ends) % budget))
-    return spans
+_BIG_PIECE_CHARS = 4096  # pieces above this use the bounded-probe path
 
 
 def _hard_split(piece: str, budget: int) -> list[Span3]:
@@ -167,7 +168,11 @@ def _hard_split(piece: str, budget: int) -> list[Span3]:
         spans.append((start, m.end(), budget))
         start = m.end()
     if start < len(piece):
-        spans.append((start, len(piece), num_tokens(piece[start:])))
+        # findall(pos=start) avoids copying the suffix; the pattern has
+        # no anchors/lookbehind, so pos semantics equal slicing
+        spans.append(
+            (start, len(piece), len(_TOKEN_RE.findall(piece, start)))
+        )
     return spans
 
 
