@@ -128,3 +128,51 @@ class TestTableStructure:
         sections, code = pdf_extract(make_pdf([page]))
         assert code == 0
         assert all(k == "p" for k, _ in sections)
+
+
+def test_tokenizer_matches_reference_on_corpus_and_garbage():
+    """The regex-scanning tokenizer must yield exactly the reference
+    byte-at-a-time tokenizer's (x, y, text) stream — on real content
+    streams and on adversarial garbage."""
+    import random
+    import zlib
+
+    from ragflow_spark.kernels.pdfx import (
+        _iter_strings_with_pos,
+        _iter_strings_with_pos_reference,
+    )
+    from ragflow_spark.sources.pdfgen import single_column_pdf, two_column_pdf
+
+    def streams_of(pdf: bytes):
+        # crude: pull every stream body (skip "stream" inside "endstream")
+        out = []
+        i = 0
+        while True:
+            a = pdf.find(b"stream", i)
+            if a < 0:
+                return out
+            if pdf[max(0, a - 3) : a] == b"end":
+                i = a + 6
+                continue
+            b = pdf.find(b"endstream", a)
+            if b < 0:
+                return out
+            body = pdf[a + 6 : b].strip(b"\r\n")
+            try:
+                out.append(zlib.decompress(body))
+            except zlib.error:
+                out.append(body)
+            i = b + 9
+
+    paras = ["p%d " % i + "alpha beta (gamma) \\ delta " * 9 for i in range(12)]
+    corpora = streams_of(single_column_pdf(paras, header="H", footer="F"))
+    corpora += streams_of(two_column_pdf(paras[:6], paras[6:]))
+    rng = random.Random(42)
+    alphabet = b"()\\[]0123456789.-+ \n\tTdTDTmTLT*BTETTj'\"TJ\x05abz"
+    for _ in range(300):
+        corpora.append(bytes(rng.choice(alphabet) for _ in range(rng.randrange(0, 120))))
+    assert corpora
+    for content in corpora:
+        assert list(_iter_strings_with_pos(content)) == list(
+            _iter_strings_with_pos_reference(content)
+        ), content[:60]
