@@ -341,3 +341,71 @@ def token_truncate(spark, sf_dir):
         F.length(trunc).cast("bigint").alias("trunc_chars"),
         F.md5(trunc).alias("trunc_md5"),
     )
+
+
+# ------------------------------------------------ winnowing fingerprint
+
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # window of consecutive k-gram hashes
+
+
+@register(
+    "fingerprint_winnow",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - {WINNOW_K - 1} + 1),
+                            i -> substring(md5(substring(t, i, {WINNOW_K})),
+                                           1, 8)) AS hs
+      FROM d
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(hs) - {WINNOW_W - 1} + 1),
+               j -> hs[j + {WINNOW_W} - list_position(
+                      list_reverse(hs[j : j + {WINNOW_W - 1}]),
+                      list_min(hs[j : j + {WINNOW_W - 1}]))]
+             )) AS sel
+      FROM g
+    )
+    SELECT doc_id, len(sel)::BIGINT AS n_fps,
+           md5(array_to_string(list_sort(sel), '')) AS fp_digest
+    FROM s
+    """,
+)
+def fingerprint_winnow(spark, sf_dir):
+    """Rolling-window document fingerprinting by winnowing (round
+    brief: 'document fingerprinting (rolling hash)'; algorithm per
+    Schleimer/Wilkerson/Aiken, "Winnowing: local algorithms for
+    document fingerprinting", SIGMOD 2003): hash every {WINNOW_K}-char
+    k-gram, slide a {WINNOW_W}-hash window, keep the RIGHTMOST minimum
+    of each window — guarantees any match of length >= k + w - 1 shares
+    a fingerprint, with ~2/(w+1) selection density. The k-gram hash is
+    an md5 slice instead of Rabin-Karp so the DuckDB oracle reproduces
+    it exactly; the windowed-min selection (the winnowing part) is the
+    algorithm under test. All generator expressions, JVM-side, map-only
+    — at crawl scale the fingerprint sets feed an inverted index for
+    partial-overlap detection (quotes, mirrored fragments) that whole-
+    document hashes cannot see."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    k, w = WINNOW_K, WINNOW_W
+    hs = F.expr(
+        f"transform(sequence(1, length(lower(text)) - {k - 1}), "
+        f"i -> substring(md5(substring(lower(text), i, {k})), 1, 8))"
+    )
+    g = d.select("doc_id", hs.alias("hs"))
+    sel = F.expr(
+        f"array_distinct(transform(sequence(1, size(hs) - {w - 1}), "
+        f"j -> element_at(hs, cast(j + {w} - array_position("
+        f"reverse(slice(hs, j, {w})), array_min(slice(hs, j, {w}))) AS int))))"
+    )
+    return g.select("doc_id", sel.alias("sel")).select(
+        "doc_id",
+        F.size("sel").cast("bigint").alias("n_fps"),
+        F.md5(F.concat_ws("", F.array_sort("sel"))).alias("fp_digest"),
+    )
