@@ -26,16 +26,10 @@ N_BANDS = 4  # bands of r=2 rows each
 
 
 def _spread(df):
-    """Repartition ONLY when the scan underprovisions the cluster
-    (tiny test files -> 4 partitions on 32 cores). At 100 TB the scan
-    has ample splits and this is a no-op — an unconditional
-    repartition here would shuffle the whole corpus text just to fix
-    a sandbox artifact."""
+    """registry.spread, keyed variant (doc_id) so downstream per-doc
+    aggregations stay co-partitioned."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # inputFiles() is a listing, not an RDD conversion — df.rdd here
-    # would force a full plan translation just to read a partition
-    # count. One file per task is the parquet split lower bound.
     if len(df.inputFiles()) < max(2, target // 2):
         return df.repartition(target, "doc_id")
     return df

@@ -27,3 +27,16 @@ def register(name: str, oracle: str | None = None):
 
 def table(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread(df):
+    """Repartition ONLY when the scan underprovisions the cluster
+    (tiny test files -> 1-4 partitions on 32 cores, which serializes
+    compute-heavy per-row operators). At crawl scale the scan has
+    ample splits and this is a no-op; inputFiles() is a listing, not
+    an RDD conversion."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < max(2, target // 2):
+        return df.repartition(target)
+    return df

@@ -390,7 +390,12 @@ def fingerprint_winnow(spark, sf_dir):
     — at crawl scale the fingerprint sets feed an inverted index for
     partial-overlap detection (quotes, mirrored fragments) that whole-
     document hashes cannot see."""
-    d = table(spark, sf_dir, "documents").filter(
+    from ragflow_spark.operators.registry import spread
+
+    # ~1.4k md5 evaluations per document: on the single-file test
+    # corpus the scan yields ONE partition and the whole job
+    # serializes on a core — spread it (no-op at crawl scale)
+    d = spread(table(spark, sf_dir, "documents")).filter(
         F.length("text") >= WINNOW_K + WINNOW_W - 1
     )
     k, w = WINNOW_K, WINNOW_W
