@@ -47,7 +47,9 @@ def extract_pages_stats(spark, sf_dir):
     doc_id % 20 routing — a real end-to-end check that every page
     lands in the right parser with the right outcome. Chunk/char
     totals are covered per-url by extract_text_hashes + goldens."""
-    pages = synthesize_pages(spark, sf_dir)
+    pages = synthesize_pages(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
     staged = assign_splits(pages, n_splits=32, salt_factor=8, hot_hosts=None)
     ex = extract_pages(staged)
     return ex.groupBy("content_type", "parse_status", "parse_code").agg(
@@ -60,7 +62,9 @@ def extract_text_hashes(spark, sf_dir):
     """Byte-stability surface: md5 of every extracted_text. Two runs
     of this query must hash-match exactly (the driver's
     order-insensitive value hash gives that for free)."""
-    pages = synthesize_pages(spark, sf_dir)
+    pages = synthesize_pages(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
     staged = assign_splits(pages, n_splits=32, salt_factor=8, hot_hosts=None)
     ex = extract_pages(staged)
     return ex.select(

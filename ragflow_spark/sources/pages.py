@@ -193,17 +193,31 @@ def render_pages_pdf(pdf: pd.DataFrame, text_tile: int = 1) -> pd.DataFrame:
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def synthesize_pages(spark, sf_dir: str, repeat: int = 1, text_tile: int = 1):
+def synthesize_pages(
+    spark,
+    sf_dir: str,
+    repeat: int = 1,
+    text_tile: int = 1,
+    n_partitions: int | None = None,
+):
     """documents.parquet -> deterministic pages DataFrame.
 
     ``repeat`` > 1 tiles the documents table with shifted doc_ids for
     bench-scale inputs without external data (ids stay unique);
-    ``text_tile`` > 1 fattens each page toward realistic CC sizes."""
+    ``text_tile`` > 1 fattens each page toward realistic CC sizes.
+    ``n_partitions`` repartitions the SEED docs (doc_id/text/lang, a
+    few hundred bytes each) BEFORE rendering, so a single-file test
+    scan doesn't serialize the render+extract on one core — the html
+    payload itself is born post-shuffle and still never enters an
+    Exchange. Default None keeps the plan exchange-free (the
+    zero-shuffle extraction invariant is asserted on that path)."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
+    if n_partitions:
+        docs = docs.repartition(n_partitions)
     if repeat > 1:
         n = docs.count()
         reps = spark.range(repeat).select(F.col("id").alias("rep"))
