@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from ragflow_spark.operators.registry import register, table
+from ragflow_spark.operators.registry import register, spread, table
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -44,7 +44,11 @@ def cosine_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
-    joined = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    # spread: the dot products run map-side over the corpus scan — a
+    # single-file test scan would serialize them on one core
+    joined = spread(e.filter(F.col("vec_id") != QUERY_VEC_ID)).crossJoin(
+        F.broadcast(q)
+    )
 
     def dot(a, b):
         return F.aggregate(
@@ -143,7 +147,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     ANN = join on bucket (plus neighbor buckets for recall) instead of
     scanning all vectors. Output = bucket histogram (buckets holding
     >= 2 vectors)."""
-    e = table(spark, sf_dir, "embeddings")
+    e = spread(table(spark, sf_dir, "embeddings"))
     bucket = F.expr(_bucket_sql(N_PLANES))
     return (
         e.select(bucket.alias("bucket"))
@@ -202,7 +206,7 @@ def ann_query_topk(spark, sf_dir):
     query touches one partition (1/2^8 of the data here; recall is
     tuned by probing neighbor buckets) instead of scanning every
     vector — the sublinear companion to the exact `cosine_topk`."""
-    e = table(spark, sf_dir, "embeddings")
+    e = spread(table(spark, sf_dir, "embeddings"))
     b = e.withColumn("bucket", _bucket_expr())
     q = b.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
@@ -298,7 +302,9 @@ def cite_insertion(spark, sf_dir):
         F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
     )
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    side = d.join(e, d.doc_id == e.vec_id).select("doc_id", "toks", "embedding")
+    side = spread(d.join(e, d.doc_id == e.vec_id)).select(
+        "doc_id", "toks", "embedding"
+    )
     sents = side.filter(F.col("doc_id") < N_ANSWER_SENTS).select(
         F.col("doc_id").alias("sent_id"),
         F.col("toks").alias("stoks"),
@@ -392,7 +398,7 @@ def neardup_embedding(spark, sf_dir):
     the same sublinear shape as the text near-dup path, but on
     vectors, so it catches semantic dupes exact/minhash text matching
     misses (translated boilerplate, templated rewrites)."""
-    e = table(spark, sf_dir, "embeddings")
+    e = spread(table(spark, sf_dir, "embeddings"))
     b = e.select("vec_id", "embedding", F.expr(_bucket_sql(N_PLANES)).alias("bucket"))
     x = b.select(
         F.col("vec_id").alias("vec_a"),
@@ -490,6 +496,7 @@ def ann_ivf_topk(spark, sf_dir):
     centroids chosen deterministically instead of by k-means so the
     oracle can replay the exact assignment."""
     e = table(spark, sf_dir, "embeddings")
+    e_spread = spread(e)
     cents = e.filter(
         F.col("vec_id") % IVF_CENTROID_STRIDE == IVF_CENTROID_PICK
     ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
@@ -517,7 +524,7 @@ def ann_ivf_topk(spark, sf_dir):
         F.desc("ccos"), F.asc("cent_id")
     )
     assigned = (
-        e.crossJoin(F.broadcast(cents))
+        e_spread.crossJoin(F.broadcast(cents))
         .withColumn("ccos", cosine(F.col("embedding"), F.col("cvec")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
