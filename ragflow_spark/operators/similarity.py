@@ -14,7 +14,9 @@ hashing scheme based on p-stable distributions" (SoCG 2004).
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+import math
+
+from pyspark.sql import functions as F
 
 from ragflow_spark.operators.registry import register, spread, table
 
@@ -183,6 +185,60 @@ def _duck_bucket_sql(n_planes: int = QUERY_PLANES) -> str:
     return " || ".join(bits)
 
 
+def _sign_bucket_py(vec, n_planes: int = QUERY_PLANES) -> str:
+    """Driver-side replica of _bucket_sql for ONE vector (the 1-row
+    query side is a bounded driver-side manifest — hashing it in
+    Python avoids a broadcast-join stage entirely)."""
+    bits = []
+    for k in range(n_planes):
+        p = _plane_signs(k)
+        dot = sum(float(x) * s for x, s in zip(vec, p))
+        bits.append("1" if dot >= 0 else "0")
+    return "".join(bits)
+
+
+def probe_buckets(qb: str) -> list[str]:
+    """Multi-probe set: the query's own bucket plus every
+    Hamming-distance-1 neighbor — 1 + n_planes buckets, the standard
+    recall lever for sign-LSH (probing buckets that differ in the one
+    least-confident hyperplane sign)."""
+    flips = [
+        qb[:i] + ("0" if qb[i] == "1" else "1") + qb[i + 1 :]
+        for i in range(len(qb))
+    ]
+    return [qb] + flips
+
+
+def _vec_sql_literal(vals) -> str:
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _cos_vs_literal_sql(vals) -> str:
+    """cosine(embedding, <literal vector>) as ONE Spark SQL expression
+    (query norm precomputed driver-side; Catalyst won't constant-fold
+    lambda trees, so the literal side must arrive pre-reduced)."""
+    qn = math.sqrt(sum(float(v) ** 2 for v in vals))
+    lit = _vec_sql_literal(vals)
+    return (
+        f"aggregate(zip_with(embedding, {lit}, "
+        "(x, y) -> cast(x as double) * y), cast(0.0 as double), "
+        "(acc, v) -> acc + v) / "
+        "(sqrt(aggregate(transform(embedding, "
+        "x -> cast(x as double) * cast(x as double)), cast(0.0 as double), "
+        f"(acc, v) -> acc + v)) * {qn!r}D)"
+    )
+
+
+def _collect_query_vec(spark, sf_dir, vec_id: int):
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()
+    )
+    return [float(x) for x in row[0].embedding]
+
+
 @register(
     "ann_query_topk",
     oracle=f"""
@@ -191,49 +247,41 @@ def _duck_bucket_sql(n_planes: int = QUERY_PLANES) -> str:
       FROM embeddings e
     ), q AS (
       SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID}
+    ), probes AS (
+      SELECT qb AS pb FROM q
+      UNION
+      SELECT substr(qb, 1, i) ||
+             (CASE substr(qb, i + 1, 1) WHEN '1' THEN '0' ELSE '1' END) ||
+             substr(qb, i + 2) AS pb
+      FROM q CROSS JOIN (SELECT unnest(range({QUERY_PLANES})) AS i) t
     )
     SELECT b.vec_id, b.label,
            round(list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS cos
-    FROM b, q
-    WHERE b.bucket = q.qb AND b.vec_id != {QUERY_VEC_ID}
+    FROM b JOIN probes ON b.bucket = probes.pb, q
+    WHERE b.vec_id != {QUERY_VEC_ID}
     ORDER BY cos DESC, b.vec_id LIMIT {TOP_K}
     """,
 )
 def ann_query_topk(spark, sf_dir):
-    """Query-time ANN: hash the query vector to its sign-LSH bucket,
-    score ONLY that bucket's candidates with exact cosine, take top-k.
-    At 100 TB the index side is bucketed/partitioned by `bucket`, so a
-    query touches one partition (1/2^8 of the data here; recall is
-    tuned by probing neighbor buckets) instead of scanning every
-    vector — the sublinear companion to the exact `cosine_topk`."""
+    """Query-time ANN with Hamming-1 multi-probe: hash the query
+    vector to its sign-LSH bucket DRIVER-SIDE (1-row bounded
+    manifest), expand to the 1 + n_planes probe set (own bucket +
+    every 1-bit flip), then exact-rescore only vectors whose bucket is
+    in the probe set and take top-k. At 100 TB the index side is
+    bucketed/partitioned by `bucket`, so the probe filter prunes to
+    (1 + n_planes)/2^n_planes of the partitions; multi-probe is what
+    keeps recall when a near neighbor straddles one hyperplane. The
+    plan is scan -> map-side bucket filter -> TakeOrderedAndProject:
+    no join, no shuffle beyond the final top-k gather."""
+    qe = _collect_query_vec(spark, sf_dir, QUERY_VEC_ID)
+    probes = probe_buckets(_sign_bucket_py(qe))
     e = spread(table(spark, sf_dir, "embeddings"))
-    b = e.withColumn("bucket", _bucket_expr())
-    q = b.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    cand = (
+        e.withColumn("bucket", _bucket_expr())
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .filter(F.col("bucket").isin(probes))
     )
-    cand = b.filter(F.col("vec_id") != QUERY_VEC_ID).join(
-        F.broadcast(q), F.col("bucket") == F.col("qb")
-    )
-
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("qe"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-
-    cos = dot / (norm(F.col("embedding")) * norm(F.col("qe")))
+    cos = F.expr(_cos_vs_literal_sql(qe))
     return (
         cand.select("vec_id", "label", F.round(cos, 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -295,8 +343,10 @@ def cite_insertion(spark, sf_dir):
 
     Scale shape: the sentence side is tiny (one answer) -> broadcast;
     the chunk corpus streams map-side through the hybrid scoring; the
-    per-sentence argmax shuffles only (sent_id, chunk_id, 3 doubles),
-    never vectors or token arrays."""
+    per-sentence argmax is a max_by AGGREGATE (not a window), so the
+    partial aggregation collapses each map partition to <= n_sents
+    rows before the shuffle — the Exchange carries n_sents rows per
+    task, not every scored (sentence x chunk) pair."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
@@ -342,8 +392,6 @@ def cite_insertion(spark, sf_dir):
     )
     hybrid = F.lit(TK_WEIGHT) * tok_sim + F.lit(VT_WEIGHT) * vec_sim
 
-    from pyspark.sql import Window
-
     scored = j.select(
         "sent_id",
         "chunk_id",
@@ -351,18 +399,28 @@ def cite_insertion(spark, sf_dir):
         vec_sim.alias("vec_sim"),
         hybrid.alias("hybrid"),
     )
-    w = Window.partitionBy("sent_id").orderBy(
-        F.desc("hybrid"), F.asc("chunk_id")
+    # argmax as an aggregate, NOT a row_number window: max_by gets a
+    # map-side partial, so each task ships <= n_sents best-so-far rows
+    # into the Exchange instead of shuffling every scored pair into
+    # n_sents window partitions (a <=20-reducer straggler at scale).
+    # Tie-break matches the oracle (hybrid DESC, chunk_id ASC) via the
+    # lexicographic struct max over (hybrid, -chunk_id).
+    best = F.expr(
+        "max_by(named_struct("
+        "'chunk_id', chunk_id, 'tok_sim', tok_sim, "
+        "'vec_sim', vec_sim, 'hybrid', hybrid), "
+        "named_struct('h', hybrid, 'nc', -chunk_id))"
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("hybrid") >= CITE_THRESHOLD))
+        scored.groupBy("sent_id")
+        .agg(best.alias("b"))
+        .filter(F.col("b.hybrid") >= CITE_THRESHOLD)
         .select(
             "sent_id",
-            F.col("chunk_id").alias("cite_id"),
-            F.round("tok_sim", 4).alias("tok_sim"),
-            F.round("vec_sim", 4).alias("vec_sim"),
-            F.round("hybrid", 4).alias("hybrid"),
+            F.col("b.chunk_id").alias("cite_id"),
+            F.round("b.tok_sim", 4).alias("tok_sim"),
+            F.round("b.vec_sim", 4).alias("vec_sim"),
+            F.round("b.hybrid", 4).alias("hybrid"),
         )
     )
 
@@ -370,49 +428,144 @@ def cite_insertion(spark, sf_dir):
 # ------------------------------------------- embedding-cosine near-dup
 
 NEARDUP_COS_THRESHOLD = 0.25
+NEARDUP_BANDS = 2  # OR over 2 independent bands keeps recall as r grows
+NEARDUP_TARGET_BUCKET = 16  # expected vectors per bucket
+NEARDUP_MIN_BITS = 4
+NEARDUP_MAX_BITS = 24
+
+
+def neardup_bits(n_vectors: int) -> int:
+    """Bits per band, derived from CORPUS SIZE so the bucket count
+    grows with the data: r = clamp(ceil(log2(n / target_bucket)),
+    4, 24). At 500 test vectors r=5 (32 buckets/band); at 10^9 crawl
+    vectors r=24 (16M buckets/band) — the within-bucket pair space
+    stays ~n * target_bucket instead of the quadratic n^2/2^const the
+    round-2 fixed 8-plane variant had."""
+    if n_vectors <= 0:
+        return NEARDUP_MIN_BITS
+    raw = math.ceil(math.log2(max(n_vectors / NEARDUP_TARGET_BUCKET, 1.0)))
+    return min(NEARDUP_MAX_BITS, max(NEARDUP_MIN_BITS, raw))
+
+
+def _nd_plane_signs(band: int, j: int) -> list[float]:
+    """Band/bit-indexed ±1 hyperplane (names are independent of r so
+    the plane set is stable as the corpus grows)."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"nd-{band}-{j}-{d}".encode()).hexdigest()[0] in "02468ace"
+        else -1.0
+        for d in range(DIM)
+    ]
+
+
+def _nd_bucket_sql(band: int, r: int) -> str:
+    """r-bit sign bucket for one band as ONE lambda over a 2D plane
+    literal (planes precomputed driver-side — Catalyst does not
+    constant-fold higher-order functions)."""
+    planes2d = "array(" + ", ".join(
+        "array("
+        + ", ".join(
+            "1.0D" if v > 0 else "-1.0D" for v in _nd_plane_signs(band, j)
+        )
+        + ")"
+        for j in range(r)
+    ) + ")"
+    return (
+        f"array_join(transform({planes2d}, p -> CASE WHEN "
+        "aggregate(zip_with(embedding, p, (x, y) -> cast(x as double) * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v) >= 0 "
+        "THEN '1' ELSE '0' END), '')"
+    )
 
 
 @register(
     "neardup_embedding",
     oracle=f"""
-    WITH b AS (
-      SELECT e.vec_id, e.embedding,
-             {_duck_bucket_sql(N_PLANES)} AS bucket
+    WITH params AS (
+      SELECT least({NEARDUP_MAX_BITS}, greatest({NEARDUP_MIN_BITS},
+               cast(ceil(log2(count(*) / {NEARDUP_TARGET_BUCKET}.0)) AS INT)))
+             AS r
+      FROM embeddings
+    ), bits AS (
+      SELECT e.vec_id, bb.band, jj.j,
+        CASE WHEN list_sum(list_transform(range({DIM}), d ->
+          e.embedding[d+1] * (CASE WHEN strpos('02468ace',
+            substr(md5('nd-' || bb.band || '-' || jj.j || '-' || d), 1, 1)) > 0
+            THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END AS bit
       FROM embeddings e
+      CROSS JOIN (SELECT unnest(range({NEARDUP_BANDS})) AS band) bb
+      CROSS JOIN (SELECT unnest(range({NEARDUP_MAX_BITS})) AS j) jj
+      CROSS JOIN params p
+      WHERE jj.j < p.r
+    ), buckets AS (
+      SELECT vec_id, band, string_agg(bit, '' ORDER BY j) AS bucket
+      FROM bits GROUP BY vec_id, band
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM buckets x JOIN buckets y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
     )
-    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-           round(list_cosine_similarity(x.embedding::DOUBLE[],
-                                        y.embedding::DOUBLE[]), 4) AS cos
-    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-    WHERE list_cosine_similarity(x.embedding::DOUBLE[],
-                                 y.embedding::DOUBLE[])
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos
+    FROM cand c
+    JOIN embeddings a ON c.vec_a = a.vec_id
+    JOIN embeddings b ON c.vec_b = b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[])
           >= {NEARDUP_COS_THRESHOLD}
     """,
 )
 def neardup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (round brief's fifth
-    dedup variant): sign-LSH buckets gate the pair space (same 8-bit
-    bucket == 8 agreeing hyperplane signs -> high prior on closeness),
-    exact cosine >= {NEARDUP_COS_THRESHOLD} confirms. The join key is
-    the 8-char bucket and the pair space is bucket collisions only —
-    the same sublinear shape as the text near-dup path, but on
-    vectors, so it catches semantic dupes exact/minhash text matching
-    misses (translated boilerplate, templated rewrites)."""
+    dedup variant), banded sign-LSH with CORPUS-SIZED buckets: r =
+    neardup_bits(n) hyperplane bits per band (so bucket count scales
+    with n — no fixed-2^8 quadratic pair space), OR'd over
+    {NEARDUP_BANDS} independent bands for recall; exact cosine >=
+    {NEARDUP_COS_THRESHOLD} confirms candidates. The pair join key is
+    (band, bucket); a pair colliding in both bands is deduped by the
+    final distinct over (vec_a, vec_b, cos) — narrow rows, no arrays.
+    n comes from parquet row-group metadata (count-only scan), the
+    analog of table stats on a cluster."""
+    n = table(spark, sf_dir, "embeddings").count()
+    r = neardup_bits(n)
     e = spread(table(spark, sf_dir, "embeddings"))
-    b = e.select("vec_id", "embedding", F.expr(_bucket_sql(N_PLANES)).alias("bucket"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.expr(_nd_bucket_sql(k, r)).alias("bucket"),
+            )
+            for k in range(NEARDUP_BANDS)
+        ]
+    )
+    b = e.select(
+        "vec_id", "embedding", F.explode(bands).alias("bb")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
     x = b.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
+        "band",
         "bucket",
     )
     y = b.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
     pairs = x.join(
         y,
-        (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
     )
 
     def dot(a, c):
@@ -436,6 +589,7 @@ def neardup_embedding(spark, sf_dir):
         pairs.withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= NEARDUP_COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+        .distinct()
     )
 
 
@@ -448,6 +602,47 @@ IVF_NPROBE = 2  # query probes its 2 nearest cells
 
 def _duck_cos(a: str, b: str) -> str:
     return f"list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _collect_centroids(spark, sf_dir):
+    """Bounded driver-side manifest: the k = n/stride centroid rows
+    (k << corpus), sorted by cent_id so literal-argmax index order ==
+    the oracle's cent_id ASC tie-break."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % IVF_CENTROID_STRIDE == IVF_CENTROID_PICK)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+
+
+def _ivf_assign_sql(cents) -> str:
+    """Nearest-centroid id as ONE row-local expression: argmax of
+    dot(embedding, ĉ_i) over driver-NORMALIZED centroid literals
+    (dividing by the row's own norm is a positive constant across
+    centroids, so it cannot change the argmax and is dropped).
+    Lexicographic struct max over (score, -cent_id) replays the
+    oracle's cosine DESC, cent_id ASC tie-break. No join, no window,
+    no Exchange — the round-2 Window.partitionBy(vec_id) variant
+    shuffled the full embedding array for every corpus vector."""
+    structs = ", ".join(
+        "named_struct('nc', {nc}L, 'v', {vec})".format(
+            nc=-cid,
+            vec=_vec_sql_literal(
+                [x / math.sqrt(sum(v * v for v in vec)) for x in vec]
+            ),
+        )
+        for cid, vec in cents
+    )
+    return (
+        f"-array_max(transform(array({structs}), c -> named_struct("
+        "'s', aggregate(zip_with(embedding, c.v, "
+        "(x, y) -> cast(x as double) * y), cast(0.0 as double), "
+        "(acc, v) -> acc + v), "
+        "'nc', c.nc))).nc"
+    )
 
 
 @register(
@@ -489,64 +684,44 @@ def ann_ivf_topk(spark, sf_dir):
     {IVF_CENTROID_STRIDE}th vector is a centroid — partitions the
     corpus into cells by nearest-centroid (cosine); a query probes
     its {IVF_NPROBE} nearest cells and exact-rescores only those
-    candidates. At 10^9 vectors the cell assignment is a map-side pass
-    against a broadcast centroid table (k centroids << corpus), the
-    index is written partitioned by cent_id, and a query touches
-    nprobe/k of the data — the classic IVF-flat trade-off, with
-    centroids chosen deterministically instead of by k-means so the
-    oracle can replay the exact assignment."""
-    e = table(spark, sf_dir, "embeddings")
-    e_spread = spread(e)
-    cents = e.filter(
-        F.col("vec_id") % IVF_CENTROID_STRIDE == IVF_CENTROID_PICK
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    candidates. Centroids are a bounded driver-side manifest (k <<
+    corpus): cell assignment is a ROW-LOCAL argmax over normalized
+    centroid literals (like the precomputed LSH planes — no join, no
+    per-vector shuffle), and the query's probe cells are picked
+    driver-side in Python, so the whole plan is scan -> map-side
+    assign + probe filter -> TakeOrderedAndProject. At k beyond a few
+    thousand the literal would be swapped for a numpy matmul against a
+    broadcast centroid matrix inside mapInPandas — same row-local
+    shape, no Exchange either way. At 10^9 vectors the index is
+    written partitioned by cent_id and a query touches nprobe/k of
+    the data — the classic IVF-flat trade-off, with centroids chosen
+    deterministically instead of by k-means so the oracle can replay
+    the exact assignment."""
+    cents = _collect_centroids(spark, sf_dir)
+    qe = _collect_query_vec(spark, sf_dir, QUERY_VEC_ID)
+    qn = math.sqrt(sum(v * v for v in qe))
 
-    def dot(a, c):
-        return F.aggregate(
-            F.zip_with(a, c, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    def _cos_q(cid_vec):
+        _cid, vec = cid_vec
+        cn = math.sqrt(sum(v * v for v in vec))
+        return sum(a * b for a, b in zip(qe, vec)) / (qn * cn)
 
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda p: p.cast("double") * p.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
+    probe_ids = [
+        cid
+        for cid, _v in sorted(cents, key=lambda cv: (-_cos_q(cv), cv[0]))[
+            :IVF_NPROBE
+        ]
+    ]
 
-    def cosine(a, c):
-        return dot(a, c) / (norm(a) * norm(c))
-
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("cent_id")
+    e = spread(table(spark, sf_dir, "embeddings"))
+    cand = (
+        e.withColumn("cent_id", F.expr(_ivf_assign_sql(cents)))
+        .filter(F.col("cent_id").isin(probe_ids))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
     )
-    assigned = (
-        e_spread.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cosine(F.col("embedding"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cent_id")
-    )
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe")
-    )
-    qcells = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn("qcos", cosine(F.col("qe"), F.col("cvec")))
-        .orderBy(F.desc("qcos"), F.asc("cent_id"))
-        .limit(IVF_NPROBE)
-        .select("cent_id")
-    )
-    cand = assigned.join(F.broadcast(qcells), "cent_id").filter(
-        F.col("vec_id") != QUERY_VEC_ID
-    )
-    cos = cosine(F.col("embedding"), F.col("qe"))
+    cos = F.expr(_cos_vs_literal_sql(qe))
     return (
-        cand.crossJoin(F.broadcast(q))
-        .select("vec_id", "label", F.round(cos, 4).alias("cos"))
+        cand.select("vec_id", "label", F.round(cos, 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(TOP_K)
     )

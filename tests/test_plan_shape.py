@@ -141,47 +141,96 @@ def test_media_decode_reads_binary_from_scan(spark, sf_dir, ops, tmp_path, monke
     assert row.media_type == "image" and row.decode_code == 0
 
 
-def test_neardup_pair_exchange_carries_no_arrays(spark, sf_dir, ops):
-    """The candidate-pair verify join must ship text (1x), never
-    shingle arrays (~3x the document): walk every Exchange in the
-    executed plan and assert no array-typed attribute crosses it."""
-    df = ops.QUERIES["neardup_jaccard"](spark, sf_dir)
+def arrays_crossing_exchanges(df, include_broadcast: bool = False):
+    """Walk every Exchange in the executed plan; return the
+    array-typed attributes that cross one (broadcast Exchanges are
+    exempt by default — a broadcast side is small by construction)."""
     plan = df._jdf.queryExecution().executedPlan()
-
     offending = []
 
     def walk(node):
-        if "Exchange" in node.nodeName():
+        name = node.nodeName()
+        if "Exchange" in name and (
+            include_broadcast or "Broadcast" not in name
+        ):
             out = node.output()
             for i in range(out.length()):
                 attr = out.apply(i)
                 if "Array" in attr.dataType().toString():
-                    offending.append(f"{node.nodeName()}: {attr.toString()}")
+                    offending.append(f"{name}: {attr.toString()}")
         ch = node.children()
         for i in range(ch.length()):
             walk(ch.apply(i))
 
     walk(plan)
+    return offending
+
+
+def test_neardup_pair_exchange_carries_no_arrays(spark, sf_dir, ops):
+    """The candidate-pair verify join must ship text (1x), never
+    shingle arrays (~3x the document): no array-typed attribute may
+    cross any Exchange."""
+    df = ops.QUERIES["neardup_jaccard"](spark, sf_dir)
+    offending = arrays_crossing_exchanges(df, include_broadcast=True)
     assert not offending, offending
 
 
 def test_cite_insertion_broadcasts_sentence_side(spark, sf_dir, ops):
     """The answer-sentence side is tiny (one answer) and must
-    broadcast; the chunk corpus streams map-side through the scoring,
-    and only (sent_id, chunk_id, doubles) reach the argmax window."""
+    broadcast; the per-sentence argmax must be a max_by AGGREGATE with
+    a map-side partial, not a row_number window (which would shuffle
+    every scored pair into <= n_sents window partitions)."""
     df = ops.QUERIES["cite_insertion"](spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastExchange" in plan
+    assert "Window" not in plan, "argmax regressed to a window"
+    assert "partial_max_by" in plan, "max_by partial aggregation missing"
 
 
-def test_ann_ivf_broadcasts_centroids(spark, sf_dir, ops):
-    """IVF assignment must be a map-side pass against broadcast
-    centroids — at 10^9 vectors a shuffled centroid join would move
-    the whole corpus; top-k must stay TakeOrderedAndProject."""
+def test_ann_ivf_assignment_is_row_local(spark, sf_dir, ops):
+    """IVF cell assignment must be row-local (argmax over centroid
+    literals): no array-typed attribute — i.e. no embedding — may
+    cross any non-broadcast Exchange, and top-k must stay
+    TakeOrderedAndProject. (Round-2 regression class: a
+    Window.partitionBy(vec_id) assignment shuffled the full embedding
+    array for every corpus vector.)"""
     df = ops.QUERIES["ann_ivf_topk"](spark, sf_dir)
     plan = plan_of(df)
-    assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending
+
+
+def test_ann_query_topk_is_probe_filtered_scan(spark, sf_dir, ops):
+    """Multi-probe ANN must be scan -> bucket filter -> top-k: no
+    join, no window, no array crossing a non-broadcast Exchange."""
+    df = ops.QUERIES["ann_query_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending
+
+
+def test_neardup_embedding_buckets_scale_with_corpus():
+    """The sign-LSH bucket count must grow with the corpus (round-2
+    finding: a constant 2^8 bucket space is ~n^2/256 pairs at crawl
+    scale) and the multi-probe set is 1 + n_planes buckets."""
+    from ragflow_spark.operators.similarity import (
+        NEARDUP_MAX_BITS,
+        neardup_bits,
+        probe_buckets,
+    )
+
+    r_test = neardup_bits(500)
+    r_crawl = neardup_bits(10**9)
+    assert r_test < r_crawl, "bucket count must grow with corpus size"
+    assert r_crawl >= 20, "crawl-scale corpora need 20+ bits"
+    assert neardup_bits(10**12) == NEARDUP_MAX_BITS
+    probes = probe_buckets("0110")
+    assert len(probes) == 1 + 4
+    assert len(set(probes)) == 5 and probes[0] == "0110"
 
 
 def test_token_truncate_stays_jvm_side(spark, sf_dir, ops):
