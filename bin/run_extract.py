@@ -53,12 +53,16 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument(
         "--hot-host-sample",
-        type=float,
-        default=None,
-        help="seeded sample rate for the hot-host pre-pass "
-        "(e.g. 0.01 at crawl scale; default exact)",
+        default="auto",
+        help="hot-host pre-pass mode: 'auto' (default — sampled at 1%% "
+        "when the optimizer estimates the input >1 GiB, exact below), "
+        "'exact', or an explicit seeded sample rate like 0.01",
     )
     args = ap.parse_args()
+    if args.hot_host_sample == "exact":
+        args.hot_host_sample = None
+    elif args.hot_host_sample != "auto":
+        args.hot_host_sample = float(args.hot_host_sample)
 
     from ragflow_spark.session import get_spark
 

@@ -105,17 +105,35 @@ class DecodedMedia:
     payload: np.ndarray | None = None  # image/video pixels or audio samples
 
 
-def decode_real_image(payload: bytes) -> np.ndarray:
-    """STUB — real codec decode needs an image library that is not in
-    this container. The Spark plumbing treats its absence as a coded
-    row (DECODE_REAL_CODEC_UNAVAILABLE), mirroring error-as-row."""
+def _load_pil():
+    """Lazy, monkeypatch-able codec resolver: PIL's Image module when
+    installed, None otherwise (this container has no PIL — the decode
+    path must stay total either way)."""
     try:
-        from PIL import Image  # noqa: F401  (absent here by design)
-    except ImportError as exc:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_real_image(payload: bytes) -> np.ndarray:
+    """Real codec decode (PNG/JPEG/GIF/...) via PIL when available:
+    grayscale uint8 pixel array, same shape contract as the fake FIMG
+    codec so thumbnail/feature kernels downstream are codec-agnostic.
+    Raises NotImplementedError when no codec library is installed —
+    callers degrade to a DECODE_REAL_CODEC_UNAVAILABLE coded row
+    (error-as-row), so the sandbox (no PIL) and a production image
+    (pip install pillow) run the same plumbing."""
+    image_mod = _load_pil()
+    if image_mod is None:
         raise NotImplementedError(
             "real image decode requires PIL/pillow (not installed)"
-        ) from exc
-    raise NotImplementedError("real decode path not wired in this build")
+        )
+    import io
+
+    with image_mod.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
 def decode_media(payload: bytes | None) -> DecodedMedia:
@@ -160,11 +178,22 @@ def decode_media(payload: bytes | None) -> DecodedMedia:
         for rm, name in _REAL_MAGICS.items():
             if payload[: len(rm)] == rm:
                 try:
-                    decode_real_image(bytes(payload))
+                    px = decode_real_image(bytes(payload))
+                    return DecodedMedia(
+                        name,
+                        DECODE_OK,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        n_bytes=n_bytes,
+                        payload=px,
+                    )
                 except NotImplementedError:
                     return DecodedMedia(
                         name, DECODE_REAL_CODEC_UNAVAILABLE, n_bytes=n_bytes
                     )
+                except Exception:
+                    # a real codec rejecting corrupt bytes is still a row
+                    return DecodedMedia(name, DECODE_TRUNCATED, n_bytes=n_bytes)
         return DecodedMedia("unknown", DECODE_UNKNOWN_FORMAT, n_bytes=n_bytes)
     except (struct.error, ValueError):
         return DecodedMedia("unknown", DECODE_TRUNCATED, n_bytes=n_bytes)

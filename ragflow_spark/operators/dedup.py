@@ -307,21 +307,29 @@ def dedup_simhash(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            # Vectorized over the batch: md5 each UNIQUE word once
-            # (crawl text repeats vocabulary heavily), unpack its 64
-            # bits into a V x 64 ±1 matrix, then each doc's signature
-            # is one fancy-indexed sum — no per-word python inner loop.
-            docs = [(t or "").lower().split() for t in pdf["text"]]
-            vocab: dict[str, int] = {}
-            for words in docs:
-                for w in words:
-                    if w not in vocab:
-                        vocab[w] = len(vocab)
-            if vocab:
+            # Batch-vectorized vocab: tokenize with pandas str ops and
+            # build the vocab with ONE pd.factorize over the exploded
+            # word series (round-2 finding: the per-word python dict
+            # loop was the kernel's only python-bound inner loop), md5
+            # each UNIQUE word once (crawl text repeats vocabulary
+            # heavily), unpack to a V x 64 ±1 vote matrix; each doc's
+            # vote sum is then a contiguous slice of the codes array
+            # gathered+summed in C. (Fully-flat alternatives measured
+            # SLOWER here: np.add.at 2.6s, add.reduceat 0.55s, cumsum
+            # -difference 0.6s vs ~0.3s for this shape on a 5k-doc
+            # 750k-word batch — segment ufunc overhead dominates.)
+            texts = pdf["text"].fillna("").astype(str).str.lower()
+            words = texts.str.split()
+            lens = words.str.len().to_numpy(dtype=np.int64)
+            flat = words.explode().dropna()
+            codes, uniques = pd.factorize(flat.to_numpy())
+            acc = np.zeros((len(pdf), 64), dtype=np.int64)
+            if len(uniques):
                 hashes = np.frombuffer(
                     b"".join(
-                        hashlib.md5(w.encode()).digest()[:8] for w in vocab
+                        hashlib.md5(w.encode()).digest()[:8] for w in uniques
                     ),
                     dtype=">u8",
                 )
@@ -329,25 +337,26 @@ def dedup_simhash(spark, sf_dir):
                     np.unpackbits(
                         hashes.astype(np.uint64).byteswap().view(np.uint8)
                     )
-                    .reshape(len(vocab), 64)[:, ::-1]
+                    .reshape(len(uniques), 64)[:, ::-1]
                     .astype(np.int8)
+                    * 2
+                    - 1
                 )
-                votes = votes * 2 - 1  # bit -> ±1 vote
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, words in enumerate(docs):
-                if not words:
-                    continue
-                idx = np.fromiter(
-                    (vocab[w] for w in words), dtype=np.int64, count=len(words)
-                )
-                acc = votes[idx].sum(axis=0, dtype=np.int64)
-                bits = np.where(acc > 0, np.uint64(1), np.uint64(0))
-                sig = int(
-                    np.bitwise_or.reduce(
-                        bits << np.arange(64, dtype=np.uint64)
-                    )
-                )
-                out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+                # zero-length docs contribute no rows to `flat`, so
+                # doc i's words are exactly codes[bounds[i]:bounds[i+1]]
+                bounds = np.concatenate(([0], np.cumsum(lens)))
+                for i in range(len(pdf)):
+                    if lens[i]:
+                        acc[i] = votes[
+                            codes[bounds[i] : bounds[i + 1]]
+                        ].sum(axis=0, dtype=np.int64)
+            # disjoint bit weights: sum == bitwise OR; uint64->int64
+            # astype wraps two's-complement, matching the sig-(1<<64)
+            # convention (wordless docs stay all-zero -> sig 0)
+            usig = ((acc > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+            out = usig.astype(np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": out})
 
     d = table(spark, sf_dir, "documents")

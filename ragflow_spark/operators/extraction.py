@@ -57,6 +57,57 @@ def extract_pages_stats(spark, sf_dir):
     )
 
 
+@register(
+    "extract_text_hashes_plain",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS words FROM documents
+      WHERE doc_id % 20 IN (14, 15, 16, 17)
+    ), p AS (
+      SELECT doc_id, words, len(words) AS n,
+             greatest(8, len(words) // 6) AS per
+      FROM w
+    ), paras AS (
+      SELECT doc_id,
+        CASE WHEN n = 0 THEN ['empty document body'] ELSE
+          list_transform(
+            range(least(6, cast(ceil(n * 1.0 / per) AS INT))),
+            i -> array_to_string(words[i * per + 1 : (i + 1) * per], ' ')
+          ) END AS ps
+      FROM p
+    )
+    SELECT doc_id, md5(array_to_string(ps, chr(10))) AS text_md5 FROM paras
+    """,
+)
+def extract_text_hashes_plain(spark, sf_dir):
+    """VALUE oracle for a byte-level extraction subset: the plain
+    article templates (doc_id % 20 in 14..17, sources/pages.py:149-151
+    — header + <article> paragraphs + footer, no entity/charset/
+    malformed variation) extract to exactly the newline-joined
+    paragraph regrouping of documents.text, so the md5 of the
+    extracted bytes is reconstructible in pure SQL (str_split ->
+    _paragraphs regrouping: per = max(8, n_words // 6), first 6
+    paragraphs -> join with \\n -> md5). This runs the REAL pipeline —
+    synthesize -> sniff -> DOM parse -> boilerplate strip -> normalize
+    — and pins ~20% of its byte output to a SQL value oracle; the
+    remaining templates stay golden-pinned (tests/test_golden.py) and
+    rows-only in `extract_text_hashes`."""
+    pages = synthesize_pages(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    staged = assign_splits(pages, n_splits=32, salt_factor=8, hot_hosts=None)
+    ex = extract_pages(staged)
+    doc_id = F.regexp_extract("url", r"doc-(\d+)$", 1).cast("bigint")
+    return (
+        ex.withColumn("doc_id", doc_id)
+        .filter((F.col("doc_id") % 20).isin(14, 15, 16, 17))
+        .select(
+            "doc_id",
+            F.md5(F.coalesce("extracted_text", F.lit(""))).alias("text_md5"),
+        )
+    )
+
+
 @register("extract_text_hashes")
 def extract_text_hashes(spark, sf_dir):
     """Byte-stability surface: md5 of every extracted_text. Two runs

@@ -9,7 +9,9 @@ the last ulp of a float aggregate); timestamps are rendered as
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from urllib.parse import urlparse
 
 QUERIES: dict[str, Callable] = {}
 ORACLES: dict[str, str] = {}
@@ -29,14 +31,43 @@ def table(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# a scan with at least this many input bytes per core will be split
+# into adequate partitions by Spark itself (files.maxPartitionBytes
+# slicing) — repartitioning it would only add a shuffle
+SPREAD_MIN_BYTES_PER_SLOT = 4 << 20
+
+
+def _local_size(uri: str) -> int:
+    return os.path.getsize(urlparse(uri).path or uri)
+
+
 def spread(df):
     """Repartition ONLY when the scan underprovisions the cluster
     (tiny test files -> 1-4 partitions on 32 cores, which serializes
-    compute-heavy per-row operators). At crawl scale the scan has
-    ample splits and this is a no-op; inputFiles() is a listing, not
-    an RDD conversion."""
+    compute-heavy per-row operators). At crawl scale this is a no-op:
+    many files pass the count gate, and FEW-but-LARGE splittable
+    files pass the byte gate (Spark slices them by maxPartitionBytes,
+    so 'few files' only means underprovisioned when they are also
+    small). Non-file-backed plans fall back to the actual partition
+    count. inputFiles() is a listing, not an RDD conversion."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < max(2, target // 2):
+    need = max(2, target // 2)
+    files = df.inputFiles()
+    if len(files) >= need:
+        return df
+    if files:
+        try:
+            total = sum(_local_size(f) for f in files)
+        except OSError:
+            # non-local store we can't stat: a few remote files at
+            # crawl scale are splittable TBs — don't force a shuffle
+            return df
+        if total >= target * SPREAD_MIN_BYTES_PER_SLOT:
+            return df
         return df.repartition(target)
-    return df
+    # no backing files (synthesized/mapInPandas input): trust the
+    # plan's own partitioning when it already spans the cluster
+    if df.rdd.getNumPartitions() >= need:
+        return df
+    return df.repartition(target)

@@ -593,6 +593,142 @@ def neardup_embedding(spark, sf_dir):
     )
 
 
+# ------------------------------------------ hybrid keyword + vector retrieval
+
+RETR_TERMS = ("vector", "stream", "merge", "hash")
+RETR_KW_WEIGHT = 0.7  # keywords_similarity_weight (reference retrieval.py:38-49)
+RETR_VT_WEIGHT = 0.3
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _duck_bm25_sql() -> str:
+    """DuckDB replay of the per-document BM25 sum over RETR_TERMS."""
+    parts = []
+    for i in range(len(RETR_TERMS)):
+        parts.append(
+            f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * "
+            f"tf{i} * ({BM25_K1} + 1) / "
+            f"(tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        )
+    return " + ".join(parts)
+
+
+@register(
+    "hybrid_retrieval_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents
+    ), docs AS (
+      SELECT doc_id, len(tk) AS dl,
+             {", ".join(f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(RETR_TERMS))}
+      FROM toks
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(RETR_TERMS)))}
+      FROM docs
+    ), scored AS (
+      SELECT d.doc_id, {_duck_bm25_sql()} AS bm25 FROM docs d, stats
+    ), mx AS (SELECT max(bm25) AS mb FROM scored),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}),
+    vs AS (
+      SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qe)
+               AS vsim
+      FROM embeddings e, q
+    )
+    SELECT s.doc_id,
+           round(s.bm25 / mx.mb, 4) AS kw_score,
+           round(vs.vsim, 4) AS vec_score,
+           round({RETR_KW_WEIGHT} * s.bm25 / mx.mb
+                 + {RETR_VT_WEIGHT} * vs.vsim, 4) AS hybrid
+    FROM scored s JOIN vs ON s.doc_id = vs.vec_id, mx
+    WHERE s.doc_id != {QUERY_VEC_ID}
+    ORDER BY {RETR_KW_WEIGHT} * s.bm25 / mx.mb
+             + {RETR_VT_WEIGHT} * vs.vsim DESC, s.doc_id
+    LIMIT {TOP_K}
+    """,
+)
+def hybrid_retrieval_topk(spark, sf_dir):
+    """Hybrid keyword+vector retrieval — the reference's weighted
+    blend (retrieval.py:38-49 exposes `keywords_similarity_weight`;
+    retrieval.py:100-112 applies kw*sim_kw + (1-kw)*sim_vec in the
+    top-n): a deterministic BM25 keyword score over RETR_TERMS
+    (Robertson/Sparck-Jones idf, k1={BM25_K1} b={BM25_B}),
+    max-normalized, blended 0.7/0.3 with query-vector cosine, top-n.
+
+    Scale shape: tf/dl are map-side array ops on the document scan;
+    corpus stats (N, avgdl, df_t) and the bm25 max are one-row
+    aggregates broadcast back (two tiny scalar stages — the analog of
+    the reference's index-held statistics); the vector side computes
+    cosine AGAINST THE LITERAL query vector before the score join, so
+    only (vec_id, vsim) doubles cross the doc_id<->vec_id join
+    Exchange, never embeddings."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tk")
+    )
+    def _match(t):
+        # closure, NOT a default-arg lambda: F.filter treats a
+        # 2-parameter lambda as (element, index)
+        return lambda x: x == F.lit(t)
+
+    tf_cols = [
+        F.size(F.filter(F.col("tk"), _match(t))).alias(f"tf{i}")
+        for i, t in enumerate(RETR_TERMS)
+    ]
+    docs = d.select("doc_id", F.size("tk").alias("dl"), *tf_cols)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(RETR_TERMS))
+        ],
+    )
+    joined = docs.crossJoin(F.broadcast(stats))
+    bm25 = None
+    for i in range(len(RETR_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1
+        )
+        sat = (
+            F.col(f"tf{i}")
+            * (BM25_K1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        term = idf * sat
+        bm25 = term if bm25 is None else bm25 + term
+    scored = joined.select("doc_id", bm25.alias("bm25"))
+    mx = scored.agg(F.max("bm25").alias("mb"))
+
+    qe = _collect_query_vec(spark, sf_dir, QUERY_VEC_ID)
+    vs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_cos_vs_literal_sql(qe)).alias("vsim")
+    )
+    kw = F.col("bm25") / F.col("mb")
+    hybrid = F.lit(RETR_KW_WEIGHT) * kw + F.lit(RETR_VT_WEIGHT) * F.col("vsim")
+    return (
+        scored.join(vs, scored.doc_id == vs.vec_id)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("doc_id") != QUERY_VEC_ID)
+        .select(
+            "doc_id",
+            F.round(kw, 4).alias("kw_score"),
+            F.round("vsim", 4).alias("vec_score"),
+            F.round(hybrid, 4).alias("hybrid"),
+            hybrid.alias("_h"),
+        )
+        .orderBy(F.desc("_h"), F.asc("doc_id"))
+        .limit(TOP_K)
+        .drop("_h")
+    )
+
+
 # ----------------------------------------------------------- IVF ANN
 
 IVF_CENTROID_STRIDE = 50  # vec_id % stride == 7 -> centroid

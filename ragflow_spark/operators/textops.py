@@ -10,9 +10,17 @@ from pyspark.sql import functions as F
 
 from ragflow_spark.operators.registry import register, table
 
+# Explicit whitespace class instead of \s: Java regex \s includes
+# \x0B (vertical tab), RE2's does not — a document with a VT between
+# tokens would silently diverge between a query and its DuckDB oracle
+# (round-2 advice). The explicit class pins Java's semantics in BOTH
+# engines, so Spark output is unchanged.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+_WS_CHARS = r" \t\n\x0B\f\r"
+
 # BPE-ish token pattern: word runs | single CJK | punctuation glyph —
 # same class of regex both engines support identically.
-TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+TOKEN_PATTERN = rf"[A-Za-z0-9_]+|[^A-Za-z0-9_{_WS_CHARS}]"
 
 # tiny deterministic stopword sets for the language-ID heuristic
 _LANG_MARKERS = {
@@ -168,17 +176,18 @@ def quality_score(spark, sf_dir):
 
 @register(
     "fingerprint",
-    oracle="""
-    SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    oracle=f"""
+    SELECT doc_id, md5(lower(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'))) AS fp
     FROM documents ORDER BY doc_id LIMIT 100
     """,
 )
 def fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of whitespace-normalized lowercase
     text (round brief; reference uses md5 signatures at
-    agent/component/baidufanyi.py:73,84)."""
+    agent/component/baidufanyi.py:73,84). Whitespace is the explicit
+    WS_CLASS so Spark (Java regex) and the oracle (RE2) agree on \\x0B."""
     d = table(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), WS_CLASS + "+", " ")))
     return d.select("doc_id", fp.alias("fp")).orderBy("doc_id").limit(100)
 
 
@@ -301,7 +310,7 @@ TRUNCATE_BUDGET = 32  # tokens kept per document
 # and preserves the original inter-token bytes (unlike join-with-space
 # reconstruction). Both Java regex and RE2 support bounded repetition,
 # so Spark and DuckDB evaluate the same pattern.
-_TRUNC_PATTERN = rf"^((?:\s*(?:{TOKEN_PATTERN})){{0,{TRUNCATE_BUDGET}}})"
+_TRUNC_PATTERN = rf"^((?:{WS_CLASS}*(?:{TOKEN_PATTERN})){{0,{TRUNCATE_BUDGET}}})"
 
 
 @register(

@@ -63,13 +63,16 @@ def run_resumable(
     wave_size: int = 8,
     budget: int = 256,
     fail_after_waves: int | None = None,
-    hot_host_sample: float | None = None,
+    hot_host_sample: float | str | None = "auto",
 ) -> None:
     """Extract `pages` into out_dir/{extracted,metrics}, resumably.
 
     ``fail_after_waves`` injects a crash for the kill-resume test.
     ``hot_host_sample``: seeded sampling rate for the hot-host
-    pre-pass (pass ~0.01 at crawl scale; None = exact).
+    pre-pass; the default 'auto' samples at 1% when the optimizer
+    estimates the input above ~1 GiB and stays exact below (so crawl
+    runs never pay the two-full-pass exact count, while test inputs
+    keep the cheap exact mode); None forces exact.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     hot = compute_hot_hosts(pages, n_splits=n_splits, sample=hot_host_sample)

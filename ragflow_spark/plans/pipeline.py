@@ -44,8 +44,32 @@ from ragflow_spark.kernels.extract import extract_document
 DEFAULT_N_SPLITS = 64
 DEFAULT_SALT_FACTOR = 8
 HOT_HOST_FRACTION = 0.05  # host with > 5% of pages is "hot" -> salted
+HOT_HOST_SAMPLE_RATE = 0.01
+# inputs estimated above this take the sampled pre-pass by default: a
+# crawl shard is TBs (sampling is mandatory there); test/golden inputs
+# are MBs (exact mode keeps them cheap AND deterministic to inspect)
+HOT_HOST_AUTO_THRESHOLD_BYTES = 1 << 30
 
 _HOST_RE = r"^[a-z]+://([^/]+)"
+
+
+def resolve_hot_host_sample(
+    pages: DataFrame,
+    sample: float | str | None,
+    auto_threshold_bytes: int = HOT_HOST_AUTO_THRESHOLD_BYTES,
+) -> float | None:
+    """'auto' -> {HOT_HOST_SAMPLE_RATE} when Catalyst's size estimate
+    for the input exceeds `auto_threshold_bytes`, else exact (None).
+    The estimate is the optimizer's sizeInBytes statistic — parquet
+    footer totals for file scans, propagated through projections — so
+    no data is read to make the decision. At crawl scale (TB inputs)
+    this makes the sampled pre-pass the DEFAULT; a two-full-pass exact
+    count over 10^12 urls just to find >=5%-share hosts is the kind of
+    fixed cost that dominates resume-after-kill runs."""
+    if sample != "auto":
+        return sample  # explicit rate or None (exact)
+    est = int(pages._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return HOT_HOST_SAMPLE_RATE if est > auto_threshold_bytes else None
 
 EXTRACTED_SCHEMA = (
     "url string, warc_ts timestamp, content_type string, "
@@ -64,7 +88,7 @@ def compute_hot_hosts(
     pages: DataFrame,
     fraction: float = HOT_HOST_FRACTION,
     n_splits: int | None = None,
-    sample: float | None = None,
+    sample: float | str | None = None,
 ) -> dict[str, int]:
     """Cheap pre-pass: per-host salt factors, SIZE-PROPORTIONAL.
 
@@ -81,9 +105,12 @@ def compute_hot_hosts(
     >=5% of the corpus — a seeded 1% Bernoulli sample sees every such
     host with overwhelming probability and estimates its share to
     well under a salt-factor step. Pass e.g. 0.01 for large inputs
-    (bin/run_extract.py --hot-host-sample); None keeps the exact
-    two-pass mode used by tests and goldens. Shares are ratios, so no
+    (bin/run_extract.py --hot-host-sample); 'auto' (the run_resumable
+    default) picks sampled vs exact from the optimizer's input-size
+    estimate (resolve_hot_host_sample); None keeps the exact two-pass
+    mode used by tests and goldens. Shares are ratios, so no
     rescaling by the sampling rate is needed."""
+    sample = resolve_hot_host_sample(pages, sample)
     if sample is not None and 0 < sample < 1:
         pages = pages.select("url").sample(fraction=sample, seed=42)
     total = pages.count()

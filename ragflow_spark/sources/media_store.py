@@ -41,10 +41,23 @@ def _encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def media_parquet(spark, sf_dir: str) -> str:
     """Path of the (doc_id BIGINT, media BINARY) parquet for sf_dir,
     materializing it on first use. Cache root is $SPARK_GRAFT_MEDIA_DIR
-    or <repo>/.bench/media (gitignored)."""
+    or <repo>/.bench/media (gitignored). The cache key includes a
+    digest of the ABSOLUTE sf_dir plus documents.parquet's mtime/size,
+    so two corpora whose directories share a basename (or a corpus
+    regenerated in place) can never silently serve each other's
+    payload column."""
+    import hashlib
+
     root = os.environ.get(CACHE_ENV) or os.path.join(_REPO, ".bench", "media")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(root, f"media_{tag}.parquet")
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    tag = os.path.basename(ap)
+    try:
+        st = os.stat(os.path.join(ap, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        stamp = "na"
+    digest = hashlib.md5(f"{ap}|{stamp}".encode()).hexdigest()[:10]
+    path = os.path.join(root, f"media_{tag}_{digest}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
         docs.mapInPandas(_encode_batches, schema=_GEN_SCHEMA).write.mode(

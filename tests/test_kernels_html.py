@@ -160,3 +160,31 @@ def test_pathological_nesting_is_error_as_row():
     assert ok.parse_status == "ok" and ok.extracted_text == "deep but fine"
     bad = extract_document(("<div>" * 5000 + "x" + "</div>" * 5000).encode())
     assert bad.parse_status == "failed" and bad.parse_code != 0
+
+
+def test_normalize_exotic_whitespace_class_pinned():
+    """Byte-pin for the FULL normalize whitespace class (round-2
+    advice): the corpus goldens happen not to contain U+3000 / LS /
+    PS / NEL / OGHAM / FS-US, so this unit golden is what freezes
+    their collapse behavior — any future edit to _WS_RUN_RE that
+    changes it fails HERE even though the corpus fixture stays green.
+    Verified this round: the class extension left every corpus golden
+    byte-identical (FIXTURES.md §5.6)."""
+    from ragflow_spark.kernels.htmlx import html_extract, normalize_text
+
+    s = (
+        "a　b c d\x85e f\x1cg\x1dh\x1ei\x1fj\x0bk"
+        " l m"
+    )
+    assert normalize_text(s) == "a b c d e f g h i j k l m"
+
+    page = (
+        "<html><body><p>w1　w2 w3 w4\x85w5\x0bw6</p>"
+        "<p>x1\x1cx2\x1dx3\x1ex4\x1fx5 x6</p></body></html>"
+    ).encode("utf-8")
+    sections, code, _enc = html_extract(page)
+    assert code == 0
+    assert [t for _k, t in sections] == [
+        "w1 w2 w3 w4 w5 w6",
+        "x1 x2 x3 x4 x5 x6",
+    ]

@@ -78,3 +78,58 @@ def test_sample_frames():
     s = sample_frames(vid, every=3)
     assert s.shape[0] == 3  # frames 0, 3, 6
     assert (s[0] == vid[0]).all() and (s[2] == vid[6]).all()
+
+
+# ------------------------------------------- real-codec path selection
+
+
+def _png_stub_payload() -> bytes:
+    return b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+
+
+def test_real_codec_absent_degrades_to_coded_row():
+    """No PIL in this container: a real-format magic must yield a
+    DECODE_REAL_CODEC_UNAVAILABLE coded row, never an exception."""
+    from ragflow_spark.kernels import media
+
+    assert media._load_pil() is None  # the sandbox truly lacks PIL
+    d = media.decode_media(_png_stub_payload())
+    assert d.media_type == "png"
+    assert d.decode_code == media.DECODE_REAL_CODEC_UNAVAILABLE
+
+
+def test_real_codec_present_decodes(monkeypatch):
+    """With a codec library resolved, the same payload takes the real
+    decode path and returns DECODE_OK pixels (PIL is stubbed — the
+    selection logic, shape contract and error handling are what's
+    under test)."""
+    import contextlib
+
+    import numpy as np
+
+    from ragflow_spark.kernels import media
+
+    class _Img:
+        def convert(self, mode):
+            assert mode == "L"
+            return np.arange(12, dtype=np.uint8).reshape(3, 4)
+
+    class _ImageMod:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) != b"\x89PNG":
+                raise OSError("not a png")
+            fp.seek(0)
+            return contextlib.nullcontext(_Img())
+
+    monkeypatch.setattr(media, "_load_pil", lambda: _ImageMod)
+    d = media.decode_media(_png_stub_payload())
+    assert (d.media_type, d.decode_code) == ("png", media.DECODE_OK)
+    assert (d.width, d.height) == (4, 3)
+    assert d.payload.shape == (3, 4)
+    # corrupt bytes through a real codec -> coded row, not an exception
+    bad = media.decode_media(b"\xff\xd8\xff" + b"zz")
+    assert bad.decode_code in (
+        media.DECODE_TRUNCATED,
+        media.DECODE_REAL_CODEC_UNAVAILABLE,
+    )

@@ -117,3 +117,24 @@ def test_hot_host_sampling_finds_same_hosts(spark, pages):
         assert abs(sampled[h] - f) <= 1, (h, f, sampled[h])
     # determinism: same seed -> same estimate
     assert sampled == compute_hot_hosts(pages, n_splits=16, sample=0.5)
+
+
+def test_hot_host_auto_sample_resolution(spark, pages):
+    """'auto' must take the sampled path when the optimizer's input
+    size estimate exceeds the threshold and the exact path below it
+    (crawl inputs sample by default; test inputs stay exact)."""
+    from ragflow_spark.plans.pipeline import (
+        HOT_HOST_SAMPLE_RATE,
+        resolve_hot_host_sample,
+    )
+
+    # tiny input, default (1 GiB) threshold -> exact
+    assert resolve_hot_host_sample(pages, "auto") is None
+    # same input with a toy threshold models a crawl-sized estimate
+    assert (
+        resolve_hot_host_sample(pages, "auto", auto_threshold_bytes=10)
+        == HOT_HOST_SAMPLE_RATE
+    )
+    # explicit values pass through untouched
+    assert resolve_hot_host_sample(pages, None) is None
+    assert resolve_hot_host_sample(pages, 0.25) == 0.25
