@@ -54,6 +54,28 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def load_baseline() -> dict[str, float]:
+    """Per-query min-of-6 baselines from BENCH/BASELINE.md (the
+    '## Per-query wall times' table), so each bench run can report its
+    own ratio-vs-baseline and the 1.5x regression rule is evaluable
+    per round without a separate analysis step."""
+    import re
+
+    try:
+        text = open(os.path.join(REPO, "BENCH", "BASELINE.md")).read()
+    except OSError:
+        return {}
+    parts = text.split("## Per-query wall times", 1)
+    if len(parts) < 2:
+        return {}
+    return {
+        name: float(v)
+        for name, v in re.findall(
+            r"\| ([a-z0-9_]+) \| ([0-9.]+)", parts[1]
+        )
+    }
+
+
 def warm_python_workers(spark, cores: int) -> None:
     """Untimed pre-warm of the Python worker pool.
 
@@ -144,6 +166,10 @@ def main() -> None:
     # so per-page kernel work dominates fixed job overhead)
     tile = int(os.environ.get("SPARK_GRAFT_BENCH_TILE", "1"))
     skip_queries = os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") == "1"
+    # per-query minimum over >=3 in-process repetitions: identical runs
+    # vary +-30% from ambient VM load (BENCH/BASELINE.md), so a single
+    # wall is not comparable to the committed min-of-6 baselines
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     from ragflow_spark.session import get_spark
 
@@ -151,7 +177,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    ext = bench_extraction(spark, sf_dir, repeat, cores, text_tile=tile)
+    ext_runs = [
+        bench_extraction(spark, sf_dir, repeat, cores, text_tile=tile)
+        for _ in range(reps)
+    ]
+    ext = min(ext_runs, key=lambda e: e["wall_s"])
     timings["extract"] = round(ext["wall_s"], 3)
 
     # optional realistic-page-size axis: SPARK_GRAFT_BENCH_FAT=K tiles
@@ -170,9 +200,12 @@ def main() -> None:
         rest = [q for q in sorted(ops.QUERIES) if q not in HEADLINE_QUERIES]
         for name in HEADLINE_QUERIES + rest:
             fn = ops.QUERIES[name]
-            t0 = time.perf_counter()
-            _noop_write(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            walls = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _noop_write(fn(spark, sf_dir))
+                walls.append(time.perf_counter() - t0)
+            timings[name] = round(min(walls), 3)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -193,6 +226,20 @@ def main() -> None:
         "docs_per_sec": round(ext["docs_per_sec"], 1),
         "mb_per_sec": round(ext["mb_per_sec"], 2),
     }
+    result["reps"] = reps
+    # the committed baselines are sf0.1/local[32]: ratios at any other
+    # scale would compare fixed overhead, not engine speed
+    baseline = load_baseline() if sf_val == 0.1 and cores == 32 else {}
+    if baseline:
+        ratios = {
+            k: round(v / baseline[k], 2)
+            for k, v in timings.items()
+            if k in baseline and baseline[k] > 0
+        }
+        result["baseline_ratios"] = ratios
+        result["regressions"] = sorted(
+            k for k, r in ratios.items() if r > 1.5
+        )
     if fat_stats:
         result["fat_pages"] = {
             "text_tile": fat,

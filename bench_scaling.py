@@ -47,6 +47,9 @@ def run_level(cores: int) -> dict:
         SPARK_GRAFT_BENCH_REPEAT=REPEAT,
         SPARK_GRAFT_BENCH_TILE=TILE,
         SPARK_GRAFT_BENCH_SKIP_QUERIES="1",
+        # one extraction pass per process — this script does its own
+        # interleaved repetition across fresh JVMs
+        SPARK_GRAFT_BENCH_REPS="1",
     )
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable,

@@ -28,7 +28,9 @@ manifest logic is unchanged (it never relies on file layout).
 
 from __future__ import annotations
 
+import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -40,6 +42,72 @@ from ragflow_spark.plans.pipeline import (
     extract_pages,
     metrics_for,
 )
+
+
+# ------------------------------------------------ snapshot manifest
+# Parquet stand-in for Iceberg's snapshot log (metadata/snap-*.avro +
+# table-metadata snapshot list): every committed wave appends ONE
+# run_id-stamped JSON snapshot under out_dir/snapshots/, written
+# atomically (tmp + rename). Iceberg gives this chain transactionally;
+# the conf to flip it on a cluster is documented in the module
+# docstring above. The metrics table stays the RESUME source of truth;
+# snapshots are the read-side time-travel layer.
+
+
+def _snap_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "snapshots")
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """All committed snapshots, oldest first (snapshot_id ascending)."""
+    d = _snap_dir(out_dir)
+    try:
+        names = sorted(n for n in os.listdir(d) if n.startswith("snap-"))
+    except OSError:
+        return []
+    return [json.load(open(os.path.join(d, n))) for n in names]
+
+
+def record_snapshot(
+    out_dir: str, run_id: str, wave_index: int, splits: list[int]
+) -> int:
+    """Append one snapshot for a committed wave; returns snapshot_id.
+
+    snapshot_id is a monotone sequence across runs (a resumed run
+    continues the chain, exactly like Iceberg appends to the same
+    table's snapshot log)."""
+    d = _snap_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    sid = len(snapshots(out_dir)) + 1
+    rec = {
+        "snapshot_id": sid,
+        "run_id": run_id,
+        "wave": wave_index,
+        "splits": sorted(int(s) for s in splits),
+        "committed_at": time.time(),
+    }
+    tmp = os.path.join(d, f".snap-{sid:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.rename(tmp, os.path.join(d, f"snap-{sid:06d}.json"))
+    return sid
+
+
+def read_extracted_asof(
+    spark: SparkSession, out_dir: str, snapshot_id: int
+) -> DataFrame:
+    """Time-travel read: the extracted table AS OF snapshot_id — only
+    splits committed by snapshots <= snapshot_id are visible (the
+    parquet analog of Iceberg's VERSION AS OF; split-level visibility
+    is exact because waves overwrite whole split directories). The
+    filter is on the partition column, so partition pruning keeps the
+    scan to exactly the visible split directories."""
+    visible: set[int] = set()
+    for s in snapshots(out_dir):
+        if s["snapshot_id"] <= snapshot_id:
+            visible.update(s["splits"])
+    ex = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    return ex.filter(F.col("split_id").isin(sorted(visible)))
 
 
 def completed_splits(spark: SparkSession, out_dir: str) -> set[int]:
@@ -96,6 +164,7 @@ def run_resumable(
             F.col("split_id").isin(wave)
         )
         metrics_for(done_extracted, run_id).write.mode("append").parquet(m_path)
+        record_snapshot(out_dir, run_id, w, wave)
         if fail_after_waves is not None and w + 1 >= fail_after_waves:
             raise RuntimeError(f"injected failure after wave {w}")
 
