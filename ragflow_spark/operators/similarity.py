@@ -740,6 +740,38 @@ def _duck_cos(a: str, b: str) -> str:
     return f"list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
+_IVF_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = {IVF_CENTROID_PICK}
+    ), assigned AS (
+      SELECT vec_id, label, embedding, cent_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos('e.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ), qcells AS (
+      SELECT cent_id FROM (
+        SELECT c.cent_id,
+               row_number() OVER (
+                 ORDER BY {_duck_cos('q.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings q, cents c WHERE q.vec_id = {QUERY_VEC_ID}
+      ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT a.vec_id, a.label,
+           round({_duck_cos('a.embedding', 'q.embedding')}, 4) AS cos
+    FROM assigned a
+    JOIN qcells ON a.cent_id = qcells.cent_id,
+    (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos DESC, a.vec_id LIMIT {TOP_K}
+    """
+
+
 def _collect_centroids(spark, sf_dir):
     """Bounded driver-side manifest: the k = n/stride centroid rows
     (k << corpus), sorted by cent_id so literal-argmax index order ==
@@ -781,39 +813,7 @@ def _ivf_assign_sql(cents) -> str:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-      WHERE vec_id % {IVF_CENTROID_STRIDE} = {IVF_CENTROID_PICK}
-    ), assigned AS (
-      SELECT vec_id, label, embedding, cent_id FROM (
-        SELECT e.vec_id, e.label, e.embedding, c.cent_id,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY {_duck_cos('e.embedding', 'c.cvec')} DESC, c.cent_id
-               ) AS rn
-        FROM embeddings e, cents c
-      ) WHERE rn = 1
-    ), qcells AS (
-      SELECT cent_id FROM (
-        SELECT c.cent_id,
-               row_number() OVER (
-                 ORDER BY {_duck_cos('q.embedding', 'c.cvec')} DESC, c.cent_id
-               ) AS rn
-        FROM embeddings q, cents c WHERE q.vec_id = {QUERY_VEC_ID}
-      ) WHERE rn <= {IVF_NPROBE}
-    )
-    SELECT a.vec_id, a.label,
-           round({_duck_cos('a.embedding', 'q.embedding')}, 4) AS cos
-    FROM assigned a
-    JOIN qcells ON a.cent_id = qcells.cent_id,
-    (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
-    WHERE a.vec_id != {QUERY_VEC_ID}
-    ORDER BY cos DESC, a.vec_id LIMIT {TOP_K}
-    """,
-)
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (the round brief's second scale path next to
     LSH): a deterministic coarse quantizer — every
@@ -858,6 +858,74 @@ def ann_ivf_topk(spark, sf_dir):
     cos = F.expr(_cos_vs_literal_sql(qe))
     return (
         cand.select("vec_id", "label", F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@register("ann_ivf_topk_bigk", oracle=_IVF_ORACLE)
+def ann_ivf_topk_bigk(spark, sf_dir):
+    """Large-k IVF scale path, same semantics (and same oracle) as
+    `ann_ivf_topk`: when the centroid count outgrows what a SQL
+    literal should carry (k beyond a few thousand — codegen cost grows
+    with expression size), the assignment + probe + rescore becomes
+    ONE vectorized numpy pass inside mapInPandas: scores = E @ Ĉᵀ
+    (normalized centroid matrix shipped in the closure; on a cluster
+    it is a broadcast variable), argmax row = cell id (np.argmax picks
+    the first maximum, replaying the cent_id ASC tie-break because
+    centroids are sorted), probe-cell filter and exact query rescore
+    in the same kernel. Still row-local — no join, no shuffle beyond
+    the final top-k gather; the two paths are differentially tested
+    equal (tests/test_plan_shape.py::test_ann_ivf_paths_agree)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _collect_centroids(spark, sf_dir)
+    qe = _collect_query_vec(spark, sf_dir, QUERY_VEC_ID)
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    qvec = np.asarray(qe, dtype=np.float64)
+    qnorm = float(np.linalg.norm(qvec))
+
+    qscores = cmat @ qvec  # cosine * qnorm: same ordering
+    order = np.lexsort((cids, -qscores))
+    probe_ids = set(int(c) for c in cids[order[:IVF_NPROBE]])
+
+    def kernel(batches):
+        for pdf in batches:
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if emb.size == 0:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.array([], dtype=np.int64),
+                        "label": np.array([], dtype=np.int32),
+                        "cos_raw": np.array([], dtype=np.float64),
+                    }
+                )
+                continue
+            cells = cids[np.argmax(emb @ cmat.T, axis=1)]
+            keep = np.isin(cells, list(probe_ids)) & (
+                pdf["vec_id"].to_numpy() != QUERY_VEC_ID
+            )
+            sub = emb[keep]
+            norms = np.linalg.norm(sub, axis=1)
+            cos = (sub @ qvec) / (norms * qnorm)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "label": pdf["label"].to_numpy()[keep],
+                    "cos_raw": cos,
+                }
+            )
+
+    e = spread(table(spark, sf_dir, "embeddings"))
+    cand = e.select("vec_id", "label", "embedding").mapInPandas(
+        kernel, schema="vec_id bigint, label int, cos_raw double"
+    )
+    return (
+        cand.select("vec_id", "label", F.round("cos_raw", 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(TOP_K)
     )

@@ -241,3 +241,33 @@ def test_token_truncate_stays_jvm_side(spark, sf_dir, ops):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # the '*' prefix marks whole-stage-codegen'd operators
     assert "*(1) Project" in plan or "* Project" in formatted(df)
+
+
+def test_hybrid_retrieval_plan_shape(spark, sf_dir, ops):
+    """Hybrid retrieval must keep corpus stats and the bm25 max as
+    broadcast one-row aggregates, compute cosine BEFORE the score
+    join (no embedding array across a non-broadcast Exchange), and
+    end in TakeOrderedAndProject — at crawl scale the doc<->vector
+    score join ships only (id, double) pairs."""
+    df = ops.QUERIES["hybrid_retrieval_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending
+
+
+def test_ann_ivf_paths_agree(spark, sf_dir, ops):
+    """The literal-argmax path and the large-k numpy/mapInPandas path
+    are the SAME operator at two centroid scales — they must return
+    identical top-k rows (differential test, same pattern as the
+    fast-parser/reference pairs), and the big-k plan must stay
+    join-free with no array crossing a non-broadcast Exchange."""
+    a = ops.QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    b = ops.QUERIES["ann_ivf_topk_bigk"](spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    df = ops.QUERIES["ann_ivf_topk_bigk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan and "TakeOrderedAndProject" in plan
+    assert not arrays_crossing_exchanges(df)
