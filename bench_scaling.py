@@ -104,7 +104,22 @@ def main() -> None:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve every other section (skew, resume, per-query table,
+    # submit smoke) — this script owns only the header + scaling block
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    preserved = ""
+    try:
+        import re as _re
+
+        old_sections = _re.split(r"(?m)^(?=## )", open(path).read())
+        preserved = "".join(
+            s
+            for s in old_sections[1:]
+            if not s.startswith("## Two-cluster-size scaling")
+        )
+    except OSError:
+        pass
+    with open(path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE.md — measured numbers
 
@@ -137,8 +152,11 @@ fixed job overhead (scan planning + the final 2-row aggregate).
 
 Raw per-run walls (s): local[8] {[round(r["queries"]["extract"], 2) for r in results[8]]},
 local[32] {[round(r["queries"]["extract"], 2) for r in results[32]]}.
+
 """
         )
+        if preserved:
+            f.write(preserved)
     print(json.dumps(summary))
 
 
