@@ -132,7 +132,24 @@ def main() -> None:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+    # replace any prior Skew/Resume sections in place instead of
+    # blind-appending duplicates (re-measurement is the common case)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    try:
+        import re as _re
+
+        parts = _re.split(r"(?m)^(?=## )", open(path).read())
+        kept = parts[0] + "".join(
+            sec
+            for sec in parts[1:]
+            if not sec.startswith("## Skew robustness")
+            and not sec.startswith("## Resume overhead")
+        )
+        with open(path, "w") as f:
+            f.write(kept.rstrip() + "\n")
+    except OSError:
+        pass
+    with open(path, "a") as f:
         f.write(
             f"""
 ## Skew robustness (one host = ~30% of pages, local[{CORES}], {docs:,} pages)
