@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ragflow_spark.operators.registry import register, table
+from ragflow_spark.operators.registry import register, spread, table
 
 # Explicit whitespace class instead of \s: Java regex \s includes
 # \x0B (vertical tab), RE2's does not — a document with a VT between
@@ -422,4 +422,110 @@ def fingerprint_winnow(spark, sf_dir):
         "doc_id",
         F.size("sel").cast("bigint").alias("n_fps"),
         F.md5(F.concat_ws("", F.array_sort("sel"))).alias("fp_digest"),
+    )
+
+
+# ------------------------------------------- composite corpus cleanup
+
+_QUALITY_SQL = """round(
+            0.4 * least(len(str_split(text, ' ')) / 400.0, 1.0)
+          + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                     * 1.0 / greatest(length(text), 1), 1.0))
+          + 0.3 * least(len(regexp_extract_all(' ' || lower(text) || ' ',
+                     '[ ](the|and|of|a|to)[ ]')) * 10.0
+                     / greatest(len(str_split(text, ' ')), 1), 1.0)
+        , 4)"""
+
+
+@register(
+    "corpus_clean_stats",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'))) AS fp,
+             {_QUALITY_SQL} AS score,
+             len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS toks
+      FROM documents
+    ), flags AS (
+      SELECT f.*, (f.doc_id != m.min_id) AS is_dup
+      FROM feats f
+      JOIN (SELECT fp, min(doc_id) AS min_id FROM feats GROUP BY fp) m
+        USING (fp)
+    )
+    SELECT CASE WHEN score >= 0.5 THEN 'good'
+                WHEN score >= 0.25 THEN 'fair' ELSE 'poor' END
+             AS quality_bucket,
+           CASE WHEN toks < 128 THEN 'short'
+                WHEN toks < 256 THEN 'mid' ELSE 'long' END AS tok_bucket,
+           is_dup,
+           count(*)::BIGINT AS n_docs,
+           sum(toks)::BIGINT AS sum_tokens
+    FROM flags GROUP BY 1, 2, 3
+    """,
+)
+def corpus_clean_stats(spark, sf_dir):
+    """The composite training-data cleanup pipeline as ONE DataFrame
+    program — the chain a real corpus pass runs per document: exact-dup
+    flag (md5 of whitespace-normalized lowercase text, keep-first by
+    doc_id), quality score (length/punct/stopword blend, same frozen
+    weights as `quality_score`), token count — aggregated into the
+    (quality_bucket, tok_bucket, is_dup) report a pipeline operator
+    would emit before filtering.
+
+    Scale shape: every text-derived feature is computed MAP-SIDE on
+    the scan (one projection, each regex once per row); only
+    (doc_id, 16-byte fp, 2 scalars) reach the dup-group shuffle — the
+    same ship-digests-never-text rule as dedup_exact — and the final
+    rollup is a partial-aggregated groupBy over 18 possible keys."""
+    d = spread(table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    n_words = F.size(F.split(text, " "))
+    len_score = F.least(n_words / F.lit(400.0), F.lit(1.0))
+    punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9 ]"))
+    punct_score = F.lit(1.0) - F.least(
+        punct * F.lit(1.0) / F.greatest(F.length(text), F.lit(1)), F.lit(1.0)
+    )
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop = F.regexp_count(padded, F.lit(r"[ ](the|and|of|a|to)[ ]"))
+    stop_score = F.least(
+        stop * F.lit(10.0) / F.greatest(n_words, F.lit(1)), F.lit(1.0)
+    )
+    score = F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * punct_score
+        + F.lit(0.3) * stop_score,
+        4,
+    )
+    feats = d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(text, WS_CLASS + "+", " "))).alias("fp"),
+        score.alias("score"),
+        F.regexp_count(text, F.lit(TOKEN_PATTERN)).alias("toks"),
+    )
+    mins = feats.groupBy("fp").agg(F.min("doc_id").alias("min_id"))
+    flags = feats.join(mins, "fp").withColumn(
+        "is_dup", F.col("doc_id") != F.col("min_id")
+    )
+    quality_bucket = (
+        F.when(F.col("score") >= 0.5, "good")
+        .when(F.col("score") >= 0.25, "fair")
+        .otherwise("poor")
+    )
+    tok_bucket = (
+        F.when(F.col("toks") < 128, "short")
+        .when(F.col("toks") < 256, "mid")
+        .otherwise("long")
+    )
+    return (
+        flags.select(
+            quality_bucket.alias("quality_bucket"),
+            tok_bucket.alias("tok_bucket"),
+            "is_dup",
+            "toks",
+        )
+        .groupBy("quality_bucket", "tok_bucket", "is_dup")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("sum_tokens"),
+        )
     )
