@@ -133,7 +133,7 @@ def bench_extraction(
     pages = spark.read.parquet(path)
     n_splits = max(64, cores * 4)
     # cheap url-only pre-pass, untimed: per-host size-proportional salts
-    hot = compute_hot_hosts(pages, n_splits=n_splits)
+    hot = compute_hot_hosts(pages, n_splits=n_splits, sample="auto")
     warm_python_workers(spark, cores)
 
     t0 = time.perf_counter()

@@ -132,3 +132,44 @@ def test_template_span_counts_equal_rescan(template, sections, budget):
     for (a, b, c), nxt in zip(spans, spans[1:] + [(len(text), 0, 0)]):
         assert a < b and b == nxt[0]
         assert c == num_tokens(text[a:b])
+
+
+# Cross-engine fuzz for the extract_text_hashes_plain VALUE oracle:
+# the SQL paragraph regrouping (per = max(8, n//6), first 6 paras,
+# 1-based list slicing, ceil counts) must equal python _paragraphs for
+# ANY word count — the corpus only exercises a few lengths. Domain =
+# the synthesizer's contract: words joined by single spaces (the
+# documents generator never emits doubled/edge whitespace).
+_WORDS = st.lists(
+    st.text(alphabet="abcdefgéß中", min_size=1, max_size=8),
+    min_size=1,
+    max_size=300,
+)
+
+
+@given(_WORDS)
+@settings(max_examples=150, deadline=None)
+def test_paragraph_regroup_sql_matches_python(words):
+    import duckdb
+
+    from ragflow_spark.sources.pages import _paragraphs
+
+    text = " ".join(words)
+    expect = "\n".join(_paragraphs(text))
+    (got,) = duckdb.connect().execute(
+        """
+        WITH p AS (
+          SELECT str_split(?, ' ') AS words,
+                 len(str_split(?, ' ')) AS n,
+                 greatest(8, len(str_split(?, ' ')) // 6) AS per
+        )
+        SELECT array_to_string(
+          list_transform(
+            range(least(6, cast(ceil(n * 1.0 / per) AS INT))),
+            i -> array_to_string(words[i * per + 1 : (i + 1) * per], ' ')
+          ), chr(10))
+        FROM p
+        """,
+        [text, text, text],
+    ).fetchone()
+    assert got == expect
