@@ -524,11 +524,15 @@ def neardup_embedding(spark, sf_dir):
     neardup_bits(n) hyperplane bits per band (so bucket count scales
     with n — no fixed-2^8 quadratic pair space), OR'd over
     {NEARDUP_BANDS} independent bands for recall; exact cosine >=
-    {NEARDUP_COS_THRESHOLD} confirms candidates. The pair join key is
-    (band, bucket); a pair colliding in both bands is deduped by the
-    final distinct over (vec_a, vec_b, cos) — narrow rows, no arrays.
-    n comes from parquet row-group metadata (count-only scan), the
-    analog of table stats on a cluster."""
+    {NEARDUP_COS_THRESHOLD} confirms candidates. The pair join runs on
+    BUCKET-ONLY rows — (vec_id, band, bucket), no vectors — and the
+    distinct candidate pairs then re-join the embeddings table by id
+    for the exact-cosine verify, so each vector crosses an Exchange at
+    most once per verify side instead of once per band per collision
+    (the same ship-ids-not-payloads rule the text near-dup enforces,
+    and exactly the oracle's CTE shape). n comes from parquet
+    row-group metadata (count-only scan), the analog of table stats
+    on a cluster."""
     n = table(spark, sf_dir, "embeddings").count()
     r = neardup_bits(n)
     e = spread(table(spark, sf_dir, "embeddings"))
@@ -542,31 +546,35 @@ def neardup_embedding(spark, sf_dir):
         ]
     )
     b = e.select(
-        "vec_id", "embedding", F.explode(bands).alias("bb")
+        "vec_id", F.explode(bands).alias("bb")
     ).select(
         "vec_id",
-        "embedding",
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    x = b.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        "band",
-        "bucket",
-    )
+    x = b.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     y = b.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
-    pairs = x.join(
-        y,
-        (F.col("band") == F.col("band_b"))
-        & (F.col("bucket") == F.col("bucket_b"))
-        & (F.col("vec_a") < F.col("vec_b")),
+    cand = (
+        x.join(
+            y,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
     )
+    ea = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    eb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
 
     def dot(a, c):
         return F.aggregate(
@@ -589,7 +597,6 @@ def neardup_embedding(spark, sf_dir):
         pairs.withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= NEARDUP_COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
-        .distinct()
     )
 
 

@@ -316,3 +316,12 @@ def test_multiprobe_recall_vs_single_bucket(spark, sf_dir, ops):
     # sign-LSH on random 64-d vectors is a weak hash by design — the
     # floor here asserts the machinery works, not embedding geometry
     assert recall >= 0.2
+
+
+def test_neardup_embedding_pair_join_ships_ids_only(spark, sf_dir, ops):
+    """The (band, bucket) candidate join must run on id-only rows; at
+    most the two verify-side embedding rejoins may move vectors (one
+    crossing per side), never the per-band collision join."""
+    df = ops.QUERIES["neardup_embedding"](spark, sf_dir)
+    offending = arrays_crossing_exchanges(df)
+    assert len(offending) <= 2, offending
