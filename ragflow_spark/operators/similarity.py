@@ -159,10 +159,25 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
-# Query-time ANN uses fewer planes than the histogram: 4 planes -> 16
-# buckets, so a 500-vector corpus yields ~30 real candidates per query
-# (recall/selectivity trade-off; at 10^9 vectors you'd raise this and
-# multi-probe neighbor buckets instead).
+# Query-time ANN derives its plane count from CORPUS SIZE (like the
+# near-dup bands): r = clamp(ceil(log2(n / QUERY_TARGET_BUCKET)), 2,
+# 24), so buckets keep ~QUERY_TARGET_BUCKET candidates each as the
+# corpus grows — 4 planes at the 500-vector test corpus, 24 (16M
+# buckets) at 10^9 vectors — and recall rides on Hamming-1 multi-probe.
+QUERY_TARGET_BUCKET = 32
+QUERY_PLANES_MIN = 2
+QUERY_PLANES_MAX = 24
+
+
+def query_planes(n_vectors: int) -> int:
+    if n_vectors <= 0:
+        return QUERY_PLANES_MIN
+    raw = math.ceil(math.log2(max(n_vectors / QUERY_TARGET_BUCKET, 1.0)))
+    return min(QUERY_PLANES_MAX, max(QUERY_PLANES_MIN, raw))
+
+
+# fixed plane count used by the ann_lsh_bucketed HISTOGRAM (a bucket
+# diagnostic, not the query path) and by legacy helpers' defaults
 QUERY_PLANES = 4
 
 
@@ -242,9 +257,27 @@ def _collect_query_vec(spark, sf_dir, vec_id: int):
 @register(
     "ann_query_topk",
     oracle=f"""
-    WITH b AS (
-      SELECT e.vec_id, e.label, e.embedding, {_duck_bucket_sql()} AS bucket
+    WITH params AS (
+      SELECT least({QUERY_PLANES_MAX}, greatest({QUERY_PLANES_MIN},
+               cast(ceil(log2(count(*) / {QUERY_TARGET_BUCKET}.0)) AS INT)))
+             AS r
+      FROM embeddings
+    ), bits AS (
+      SELECT e.vec_id, kk.k,
+        CASE WHEN list_sum(list_transform(range({DIM}), d ->
+          e.embedding[d+1] * (CASE WHEN strpos('02468ace',
+            substr(md5('plane-' || kk.k || '-' || d), 1, 1)) > 0
+            THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END AS bit
       FROM embeddings e
+      CROSS JOIN (SELECT unnest(range({QUERY_PLANES_MAX})) AS k) kk
+      CROSS JOIN params p
+      WHERE kk.k < p.r
+    ), buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY k) AS bucket
+      FROM bits GROUP BY vec_id
+    ), b AS (
+      SELECT e.vec_id, e.label, e.embedding, buckets.bucket
+      FROM embeddings e JOIN buckets USING (vec_id)
     ), q AS (
       SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID}
     ), probes AS (
@@ -253,7 +286,10 @@ def _collect_query_vec(spark, sf_dir, vec_id: int):
       SELECT substr(qb, 1, i) ||
              (CASE substr(qb, i + 1, 1) WHEN '1' THEN '0' ELSE '1' END) ||
              substr(qb, i + 2) AS pb
-      FROM q CROSS JOIN (SELECT unnest(range({QUERY_PLANES})) AS i) t
+      FROM q
+      CROSS JOIN (SELECT unnest(range({QUERY_PLANES_MAX})) AS i) t
+      CROSS JOIN params p
+      WHERE t.i < p.r
     )
     SELECT b.vec_id, b.label,
            round(list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS cos
@@ -263,21 +299,26 @@ def _collect_query_vec(spark, sf_dir, vec_id: int):
     """,
 )
 def ann_query_topk(spark, sf_dir):
-    """Query-time ANN with Hamming-1 multi-probe: hash the query
-    vector to its sign-LSH bucket DRIVER-SIDE (1-row bounded
-    manifest), expand to the 1 + n_planes probe set (own bucket +
-    every 1-bit flip), then exact-rescore only vectors whose bucket is
-    in the probe set and take top-k. At 100 TB the index side is
-    bucketed/partitioned by `bucket`, so the probe filter prunes to
-    (1 + n_planes)/2^n_planes of the partitions; multi-probe is what
-    keeps recall when a near neighbor straddles one hyperplane. The
-    plan is scan -> map-side bucket filter -> TakeOrderedAndProject:
-    no join, no shuffle beyond the final top-k gather."""
+    """Query-time ANN with corpus-sized buckets and Hamming-1
+    multi-probe: plane count r = query_planes(n) grows with the corpus
+    (so each bucket keeps ~{QUERY_TARGET_BUCKET} candidates at any
+    scale — no fixed-16-bucket plan); the query vector is hashed to
+    its r-bit bucket DRIVER-SIDE (1-row bounded manifest), expanded to
+    the 1 + r probe set (own bucket + every 1-bit flip), then only
+    vectors whose bucket is in the probe set are exact-rescored for
+    top-k. At 100 TB the index side is bucketed/partitioned by
+    `bucket`, so the probe filter prunes to (1 + r)/2^r of the
+    partitions; multi-probe is what keeps recall when a near neighbor
+    straddles one hyperplane. The plan is scan -> map-side bucket
+    filter -> TakeOrderedAndProject: no join, no shuffle beyond the
+    final top-k gather."""
+    n = table(spark, sf_dir, "embeddings").count()
+    r = query_planes(n)
     qe = _collect_query_vec(spark, sf_dir, QUERY_VEC_ID)
-    probes = probe_buckets(_sign_bucket_py(qe))
+    probes = probe_buckets(_sign_bucket_py(qe, r))
     e = spread(table(spark, sf_dir, "embeddings"))
     cand = (
-        e.withColumn("bucket", _bucket_expr())
+        e.withColumn("bucket", _bucket_expr(r))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .filter(F.col("bucket").isin(probes))
     )

@@ -228,6 +228,10 @@ def test_neardup_embedding_buckets_scale_with_corpus():
     assert r_test < r_crawl, "bucket count must grow with corpus size"
     assert r_crawl >= 20, "crawl-scale corpora need 20+ bits"
     assert neardup_bits(10**12) == NEARDUP_MAX_BITS
+    from ragflow_spark.operators.similarity import query_planes
+
+    assert query_planes(500) < query_planes(10**6) < query_planes(10**9)
+    assert query_planes(10**9) >= 20
     probes = probe_buckets("0110")
     assert len(probes) == 1 + 4
     assert len(set(probes)) == 5 and probes[0] == "0110"
@@ -286,6 +290,7 @@ def test_multiprobe_recall_vs_single_bucket(spark, sf_dir, ops):
         _collect_query_vec,
         _sign_bucket_py,
         probe_buckets,
+        query_planes,
     )
     from ragflow_spark.operators.registry import table as _table
 
@@ -295,10 +300,12 @@ def test_multiprobe_recall_vs_single_bucket(spark, sf_dir, ops):
     probed = {
         r.vec_id for r in ops.QUERIES["ann_query_topk"](spark, sf_dir).collect()
     }
+    n = _table(spark, sf_dir, "embeddings").count()
+    r = query_planes(n)
     qe = _collect_query_vec(spark, sf_dir, QUERY_VEC_ID)
-    qb = _sign_bucket_py(qe)
+    qb = _sign_bucket_py(qe, r)
     b = _table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _bucket_expr()
+        "bucket", _bucket_expr(r)
     )
     single = b.filter(
         (F.col("bucket") == qb) & (F.col("vec_id") != QUERY_VEC_ID)
