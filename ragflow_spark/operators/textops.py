@@ -437,6 +437,38 @@ _QUALITY_SQL = """round(
         , 4)"""
 
 
+def clean_features(d):
+    """Map-side cleanup features shared by the batch rollup
+    (`corpus_clean_stats`) and the streaming quality gate
+    (streaming/clean_gate.py): content fingerprint (md5 of
+    whitespace-normalized lowercase text), quality score, token count.
+    One projection; every regex evaluated once per row."""
+    text = F.col("text")
+    n_words = F.size(F.split(text, " "))
+    len_score = F.least(n_words / F.lit(400.0), F.lit(1.0))
+    punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9 ]"))
+    punct_score = F.lit(1.0) - F.least(
+        punct * F.lit(1.0) / F.greatest(F.length(text), F.lit(1)), F.lit(1.0)
+    )
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop = F.regexp_count(padded, F.lit(r"[ ](the|and|of|a|to)[ ]"))
+    stop_score = F.least(
+        stop * F.lit(10.0) / F.greatest(n_words, F.lit(1)), F.lit(1.0)
+    )
+    score = F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * punct_score
+        + F.lit(0.3) * stop_score,
+        4,
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(text, WS_CLASS + "+", " "))).alias("fp"),
+        score.alias("score"),
+        F.regexp_count(text, F.lit(TOKEN_PATTERN)).alias("toks"),
+    )
+
+
 @register(
     "corpus_clean_stats",
     oracle=f"""
@@ -477,31 +509,7 @@ def corpus_clean_stats(spark, sf_dir):
     (doc_id, 16-byte fp, 2 scalars) reach the dup-group shuffle — the
     same ship-digests-never-text rule as dedup_exact — and the final
     rollup is a partial-aggregated groupBy over 18 possible keys."""
-    d = spread(table(spark, sf_dir, "documents"))
-    text = F.col("text")
-    n_words = F.size(F.split(text, " "))
-    len_score = F.least(n_words / F.lit(400.0), F.lit(1.0))
-    punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9 ]"))
-    punct_score = F.lit(1.0) - F.least(
-        punct * F.lit(1.0) / F.greatest(F.length(text), F.lit(1)), F.lit(1.0)
-    )
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    stop = F.regexp_count(padded, F.lit(r"[ ](the|and|of|a|to)[ ]"))
-    stop_score = F.least(
-        stop * F.lit(10.0) / F.greatest(n_words, F.lit(1)), F.lit(1.0)
-    )
-    score = F.round(
-        F.lit(0.4) * len_score
-        + F.lit(0.3) * punct_score
-        + F.lit(0.3) * stop_score,
-        4,
-    )
-    feats = d.select(
-        "doc_id",
-        F.md5(F.lower(F.regexp_replace(text, WS_CLASS + "+", " "))).alias("fp"),
-        score.alias("score"),
-        F.regexp_count(text, F.lit(TOKEN_PATTERN)).alias("toks"),
-    )
+    feats = clean_features(spread(table(spark, sf_dir, "documents")))
     mins = feats.groupBy("fp").agg(F.min("doc_id").alias("min_id"))
     flags = feats.join(mins, "fp").withColumn(
         "is_dup", F.col("doc_id") != F.col("min_id")
