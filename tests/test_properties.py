@@ -173,3 +173,36 @@ def test_paragraph_regroup_sql_matches_python(words):
         [text, text, text],
     ).fetchone()
     assert got == expect
+
+
+def test_corpus_bits_formulas_match_duckdb():
+    """The Spark side computes the corpus-derived LSH bit counts in
+    python, the oracles recompute them in SQL — the two ceil(log2())
+    clamp formulas must agree for every corpus size, INCLUDING exact
+    powers of two where a one-ulp log2 difference would flip the
+    ceil."""
+    import duckdb
+
+    from ragflow_spark.operators.similarity import neardup_bits, query_planes
+
+    con = duckdb.connect()
+    ns = sorted(
+        {2**k for k in range(0, 41)}
+        | {2**k * 16 for k in range(0, 36)}
+        | {2**k * 32 for k in range(0, 35)}
+        | {2**k + d for k in range(1, 41) for d in (-1, 1)}
+        | {1, 3, 7, 500, 2000, 5000, 123457, 10**6, 10**9, 10**12}
+    )
+    for n in ns:
+        if n <= 0:
+            continue
+        (nd,) = con.execute(
+            "SELECT least(24, greatest(4, cast(ceil(log2(? / 16.0)) AS INT)))",
+            [float(n)],
+        ).fetchone()
+        assert nd == neardup_bits(n), f"neardup_bits({n})"
+        (qp,) = con.execute(
+            "SELECT least(24, greatest(2, cast(ceil(log2(? / 32.0)) AS INT)))",
+            [float(n)],
+        ).fetchone()
+        assert qp == query_planes(n), f"query_planes({n})"
