@@ -8,8 +8,14 @@ Conf rationale (SURVEY.md §4.2, §7.3.4):
 - AQE on: runtime partition coalescing + skew splitting; at 100 TB the
   static shuffle-partition count is always wrong somewhere.
 - Arrow on + bounded maxRecordsPerBatch: html payloads are multi-MB
-  binaries; unbounded Arrow batches would hold GBs per task. 64 rows
-  x ~1 MB keeps peak per-task memory bounded.
+  binaries; unbounded Arrow batches would hold GBs per task (Spark has
+  no byte-bounded batching for mapInPandas — maxBytesPerBatch only
+  governs transformWithState). The 256-row default bounds worst-case
+  ~1 MB CC pages at ~256 MB/task; $SPARK_GRAFT_ARROW_BATCH overrides
+  it when the page-size distribution is known (measured local[32],
+  sf0.1 tiny pages, min of 3: 256 -> 7.91 s, 1024 -> 7.43 s, 4096 ->
+  9.88 s — ~6% for 4x the per-task memory ceiling, so the default
+  stays safe rather than fast).
 - maxPartitionBytes 64 MiB: binary-heavy scans split finer so a
   1000-executor cluster has enough input splits to saturate.
 """
@@ -20,7 +26,9 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_MAX_RECORDS_PER_BATCH = 256
+ARROW_MAX_RECORDS_PER_BATCH = int(
+    os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256")
+)
 
 
 def get_spark(
