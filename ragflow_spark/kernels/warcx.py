@@ -10,9 +10,11 @@ they ride the same mapInPandas vectorization as every other kernel.
 Format subset handled (everything else is skipped, never raises):
 - plain or gzip input; multi-member gzip (CC's per-record members) and
   whole-file gzip both decode (zlib with gzip wrapper, streamed).
-- `WARC/1.0` / `WARC/1.1` records; only `WARC-Type: response` and
-  `resource` records yield pages; HTTP response headers (if present)
-  are stripped to expose the payload body.
+- `WARC/1.0` / `WARC/1.1` records; `WARC-Type: response` and
+  `resource` records yield pages (HTTP response headers, if present,
+  are stripped to expose the payload body); `conversion` records —
+  the WET extracted-text sibling format CC publishes — yield
+  plain-text payloads when requested via ``record_types``.
 - `WARC-Target-URI` and `WARC-Date` (ISO-8601) map to (url, warc_ts).
 
 Error containment mirrors the pipeline convention: malformed records
@@ -83,8 +85,13 @@ def _strip_http_headers(payload: bytes) -> bytes:
     return payload
 
 
-def parse_warc(data: bytes) -> tuple[list[WarcRecord], int]:
-    """Raw segment bytes -> (records, n_skipped). Never raises."""
+def parse_warc(
+    data: bytes,
+    record_types: tuple[str, ...] = ("response", "resource"),
+) -> tuple[list[WarcRecord], int]:
+    """Raw segment bytes -> (records, n_skipped). Never raises.
+    ``record_types`` selects which WARC record types become rows —
+    ("conversion",) reads WET extracted-text segments."""
     records: list[WarcRecord] = []
     skipped = 0
     try:
@@ -111,7 +118,7 @@ def parse_warc(data: bytes) -> tuple[list[WarcRecord], int]:
         body = raw[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length
         rec_type = headers.get("warc-type", "")
-        if rec_type not in ("response", "resource"):
+        if rec_type not in record_types:
             continue  # warcinfo/request/metadata records: not pages
         url = headers.get("warc-target-uri", "")
         if not url:
@@ -154,6 +161,35 @@ def build_warc(
             + b"WARC-Target-URI: " + url.encode() + b"\r\n"
             + b"WARC-Date: " + ts_s.encode() + b"\r\n"
             + b"WARC-Record-ID: <urn:uri:" + url.encode() + b">\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+            + b"\r\n\r\n"
+        )
+        if per_record_gzip:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            out += co.compress(rec) + co.flush()
+        else:
+            out += rec
+    return bytes(out)
+
+
+def build_wet(
+    docs: list[tuple[str, _dt.datetime, str]], per_record_gzip: bool = True
+) -> bytes:
+    """docs [(url, ts, text)] -> CC-style .wet(.gz) segment bytes
+    (WARC conversion records, text/plain payloads). Deterministic —
+    fixture/round-trip companion to ``build_warc``."""
+    out = bytearray()
+    for url, ts, text in docs:
+        body = text.encode("utf-8")
+        ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            + b"WARC-Date: " + ts_s.encode() + b"\r\n"
+            + b"WARC-Record-ID: <urn:uri:" + url.encode() + b">\r\n"
+            + b"Content-Type: text/plain\r\n"
             + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
             + body
             + b"\r\n\r\n"

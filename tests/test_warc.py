@@ -104,3 +104,30 @@ def test_roundtrip_arbitrary_payloads(items, gz):
 def test_parse_total_on_garbage(data):
     records, skipped = parse_warc(data)
     assert isinstance(records, list) and skipped >= 0
+
+
+def test_wet_round_trip_and_map_only_plan(spark, tmp_path):
+    """build_wet -> read_wet_documents round-trips text exactly
+    (utf-8), skips non-conversion records, and the plan stays
+    scan + mapInPandas with no Exchange."""
+    import datetime as dt
+
+    from ragflow_spark.kernels.warcx import build_warc, build_wet
+    from ragflow_spark.sources.warc import read_wet_documents
+
+    ts = dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc)
+    docs = [
+        ("https://x/a", ts, "alpha beta gamma"),
+        ("https://x/b", ts, "unicode café 中文 text"),
+    ]
+    seg = tmp_path / "wet"
+    seg.mkdir()
+    (seg / "s.wet.gz").write_bytes(build_wet(docs))
+    # a response-record segment in the same dir must yield no rows
+    (seg / "r.wet.gz").write_bytes(
+        build_warc([("https://x/c", ts, b"<p>html</p>")])
+    )
+    df = read_wet_documents(spark, str(seg))
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    rows = {r.url: r.text for r in df.collect()}
+    assert rows == {u: t for u, t, in [(u, t) for u, _ts, t in docs]}
