@@ -188,18 +188,6 @@ def _bucket_expr(n_planes: int = QUERY_PLANES):
     return F.expr(_bucket_sql(n_planes))
 
 
-def _duck_bucket_sql(n_planes: int = QUERY_PLANES) -> str:
-    bits = []
-    for k in range(n_planes):
-        bits.append(
-            f"CASE WHEN list_sum(list_transform(range({DIM}), d -> "
-            f"e.embedding[d+1] * (CASE WHEN strpos('02468ace', "
-            f"substr(md5('plane-{k}-' || d), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)"
-            f")) >= 0 THEN '1' ELSE '0' END"
-        )
-    return " || ".join(bits)
-
-
 def _sign_bucket_py(vec, n_planes: int = QUERY_PLANES) -> str:
     """Driver-side replica of _bucket_sql for ONE vector (the 1-row
     query side is a bounded driver-side manifest — hashing it in
