@@ -370,3 +370,87 @@ def dedup_simhash(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ------------------------------------------------ dedup components
+
+DUP_JACCARD = 0.5  # confirmed-duplicate edge threshold
+COMPONENTS_MAX_ITERS = 8  # >= dup-cluster diameter (chains are short)
+
+
+def _components_oracle() -> str:
+    from ragflow_spark.operators.registry import ORACLES
+
+    base = ORACLES["neardup_jaccard"]
+    return f"""
+    WITH RECURSIVE base AS ({base}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM base WHERE jaccard >= {DUP_JACCARD}
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM base WHERE jaccard >= {DUP_JACCARD}
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id, doc_id AS label FROM nodes
+      UNION
+      SELECT e.dst AS doc_id, r.label
+      FROM reach r JOIN edges e ON r.doc_id = e.src
+    )
+    SELECT doc_id, min(label)::BIGINT AS component_id
+    FROM reach GROUP BY doc_id
+    """
+
+
+@register("dedup_components", oracle=_components_oracle())
+def dedup_components(spark, sf_dir):
+    """The dedup pipeline's actual deliverable: connected components
+    over confirmed duplicate pairs (jaccard >= {DUP_JACCARD} edges
+    from the MinHash->LSH->verify path), each doc labeled with its
+    component's min doc_id — keep the representative, drop the rest.
+    Iterative min-label propagation (the MapReduce connected-
+    components family, Rastogi et al., "Finding connected components
+    in MapReduce", ICDE 2013): per round, every node takes the min
+    label among itself and its neighbors; converges in O(diameter)
+    rounds (dup clusters are near-cliques, so 2-3 in practice, capped
+    at {COMPONENTS_MAX_ITERS}).
+
+    Scale shape: per round one narrow (id, label) join against the
+    edge list + a min-aggregate — labels and edges only, never text;
+    localCheckpoint() truncates the growing lineage each round (on a
+    cluster: reliable checkpoint dir); convergence is detected by the
+    label-sum scalar (labels only ever decrease, so an unchanged sum
+    == a fixpoint) — one 1-row collect per round, no data to the
+    driver. The DuckDB oracle replays it as a recursive-CTE
+    transitive closure."""
+    pairs = neardup_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= DUP_JACCARD
+    )
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = (
+        fwd.select(F.col("src").alias("doc_id"))
+        .union(fwd.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(COMPONENTS_MAX_ITERS):
+        prop = edges.join(
+            labels, edges.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "label")
+        labels = (
+            labels.select("doc_id", "label")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    return labels.select(
+        "doc_id", F.col("label").cast("bigint").alias("component_id")
+    )
