@@ -426,9 +426,12 @@ def dedup_components(spark, sf_dir):
         F.col("jaccard") >= DUP_JACCARD
     )
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # materialize the edge list ONCE: it sits inside every round's
+    # join, and without this the whole LSH+verify pipeline above would
+    # re-execute per iteration
     edges = fwd.union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    ).localCheckpoint()
     nodes = (
         fwd.select(F.col("src").alias("doc_id"))
         .union(fwd.select(F.col("dst").alias("doc_id")))
