@@ -332,3 +332,68 @@ def test_neardup_embedding_pair_join_ships_ids_only(spark, sf_dir, ops):
     df = ops.QUERIES["neardup_embedding"](spark, sf_dir)
     offending = arrays_crossing_exchanges(df)
     assert len(offending) <= 2, offending
+
+
+def test_banded_lsh_recalls_planted_neardups():
+    """Quantified recall/selectivity evidence for the banded near-dup
+    LSH: the synthetic corpus has NO truly-near pairs (every pair sits
+    in the 0.25-0.5 weak-correlation band where sign-LSH prunes by
+    design), so this plants real near-duplicates — each corpus vector
+    plus a small deterministic perturbation (cos ~0.99) — and checks
+    that banding catches them while random pairs stay pruned."""
+    import duckdb
+    import numpy as np
+
+    from ragflow_spark.operators.similarity import (
+        NEARDUP_BANDS,
+        _nd_plane_signs,
+        neardup_bits,
+    )
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT embedding FROM '/root/testdata/sf0.001/embeddings.parquet' "
+            "ORDER BY vec_id LIMIT 200"
+        )
+        .fetchall()
+    )
+    v = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(1234)
+    noise = rng.standard_normal(v.shape)
+    noise *= 0.12 * np.linalg.norm(v, axis=1, keepdims=True) / np.linalg.norm(
+        noise, axis=1, keepdims=True
+    )
+    w = v + noise
+    cos = (v * w).sum(1) / (
+        np.linalg.norm(v, axis=1) * np.linalg.norm(w, axis=1)
+    )
+    assert cos.min() > 0.98, "planted pairs must be genuinely near"
+
+    r = neardup_bits(2 * len(v))
+    planes = {
+        b: np.array([_nd_plane_signs(b, j) for j in range(r)])
+        for b in range(NEARDUP_BANDS)
+    }
+
+    def buckets(mat):
+        return {b: (mat @ planes[b].T >= 0) for b in range(NEARDUP_BANDS)}
+
+    bv, bw = buckets(v), buckets(w)
+    hit = np.zeros(len(v), dtype=bool)
+    for b in range(NEARDUP_BANDS):
+        hit |= (bv[b] == bw[b]).all(axis=1)
+    recall = hit.mean()
+
+    # selectivity: shifted (unrelated) pairings must rarely collide
+    rand_hit = np.zeros(len(v), dtype=bool)
+    for b in range(NEARDUP_BANDS):
+        rand_hit |= (bv[b] == np.roll(bw[b], 7, axis=0)).all(axis=1)
+    selectivity = rand_hit.mean()
+
+    print(
+        f"\nbanded LSH (r={r}, {NEARDUP_BANDS} bands): planted-pair "
+        f"recall={recall:.2f}, random-pair collision={selectivity:.2f}"
+    )
+    assert recall >= 0.8, "near-identical vectors must collide in a band"
+    assert selectivity <= 0.3, "unrelated vectors must mostly be pruned"
