@@ -38,10 +38,8 @@ def _encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def media_parquet(spark, sf_dir: str) -> str:
-    """Path of the (doc_id BIGINT, media BINARY) parquet for sf_dir,
-    materializing it on first use. Cache root is $SPARK_GRAFT_MEDIA_DIR
-    or <repo>/.bench/media (gitignored). The cache key includes a
+def cache_path(sf_dir: str) -> str:
+    """Cache location for sf_dir's media parquet. The key includes a
     digest of the ABSOLUTE sf_dir plus documents.parquet's mtime/size,
     so two corpora whose directories share a basename (or a corpus
     regenerated in place) can never silently serve each other's
@@ -57,7 +55,14 @@ def media_parquet(spark, sf_dir: str) -> str:
     except OSError:
         stamp = "na"
     digest = hashlib.md5(f"{ap}|{stamp}".encode()).hexdigest()[:10]
-    path = os.path.join(root, f"media_{tag}_{digest}.parquet")
+    return os.path.join(root, f"media_{tag}_{digest}.parquet")
+
+
+def media_parquet(spark, sf_dir: str) -> str:
+    """Path of the (doc_id BIGINT, media BINARY) parquet for sf_dir,
+    materializing it on first use. Cache root is $SPARK_GRAFT_MEDIA_DIR
+    or <repo>/.bench/media (gitignored)."""
+    path = cache_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
         docs.mapInPandas(_encode_batches, schema=_GEN_SCHEMA).write.mode(

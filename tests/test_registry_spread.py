@@ -39,3 +39,43 @@ def test_spread_nonfile_plan_uses_partition_count(spark):
     assert not _has_exchange(reg.spread(many))
     few = spark.range(0, 1000, 1, 1)
     assert _has_exchange(reg.spread(few))
+
+
+def test_bench_baseline_table_parses():
+    """bench.py's regression reporting depends on parsing the
+    committed per-query table — format drift must fail here, not
+    silently disable the ratio output."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import load_baseline
+
+    base = load_baseline()
+    assert len(base) >= 50
+    assert "extract" in base and base["extract"] > 1.0
+    assert all(v > 0 for v in base.values())
+
+
+def test_media_cache_key_distinguishes_same_basename(tmp_path, monkeypatch):
+    """Two corpora whose directories share a basename must never share
+    a media-payload cache entry (round-2 advice), and regenerating a
+    corpus in place must invalidate its entry."""
+    import os
+    import shutil
+
+    from ragflow_spark.sources import media_store
+
+    a = tmp_path / "a" / "sf0.1"
+    b = tmp_path / "b" / "sf0.1"
+    for d in (a, b):
+        d.mkdir(parents=True)
+        shutil.copy(
+            "/root/testdata/sf0.001/documents.parquet",
+            d / "documents.parquet",
+        )
+    monkeypatch.setenv(media_store.CACHE_ENV, str(tmp_path / "cache"))
+    pa, pb = media_store.cache_path(str(a)), media_store.cache_path(str(b))
+    assert pa != pb
+    # regeneration in place (mtime/size change) rotates the key
+    os.utime(a / "documents.parquet", (1, 1))
+    assert media_store.cache_path(str(a)) != pa
