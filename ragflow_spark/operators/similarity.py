@@ -144,11 +144,14 @@ def _bucket_sql(n_planes: int) -> str:
     """,
 )
 def ann_lsh_bucketed(spark, sf_dir):
-    """Sign-LSH bucketing for ANN: 8 md5-derived ±1 hyperplanes; the
-    bucket is the 8-bit sign pattern of the dot products. Query-time
-    ANN = join on bucket (plus neighbor buckets for recall) instead of
-    scanning all vectors. Output = bucket histogram (buckets holding
-    >= 2 vectors)."""
+    """Sign-LSH bucket HISTOGRAM: 8 md5-derived ±1 hyperplanes; the
+    bucket is the 8-bit sign pattern of the dot products; output =
+    buckets holding >= 2 vectors. This is the fixed-depth diagnostic
+    view of the index (stable bucket ids across corpus sizes make
+    histograms comparable run-to-run); the QUERY paths derive their
+    depth from corpus size instead — `ann_query_topk` via
+    query_planes(n), `neardup_embedding` via neardup_bits(n) — so
+    bucket population stays bounded at any scale."""
     e = spread(table(spark, sf_dir, "embeddings"))
     bucket = F.expr(_bucket_sql(N_PLANES))
     return (
