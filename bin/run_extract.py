@@ -21,8 +21,9 @@ Local sandbox usage (drives the same code path):
 `--input synth:<sf_dir>` synthesizes the deterministic pages table
 from that directory's documents.parquet; `--input warc:<glob>` ingests
 .warc/.warc.gz segments (one non-splittable segment per task — the
-Common Crawl layout); any other value is read as a parquet path with
-the (url, warc_ts, html, text, lang) schema.
+Common Crawl layout); `--input jsonl:<glob>` reads JSONL page dumps
+(html base64, sources/jsonl.py); any other value is read as a parquet
+path with the (url, warc_ts, html, text, lang) schema.
 
 Sizing guidance for 10^12 docs (SURVEY.md §4.2): n_splits >= 16x total
 executor cores so AQE and the resume grain both have headroom; wave
@@ -78,6 +79,10 @@ def main() -> None:
         pages = read_warc_pages(spark, args.input[len("warc:"):]).select(
             "url", "warc_ts", "html", "text", "lang"
         )
+    elif args.input.startswith("jsonl:"):
+        from ragflow_spark.sources.jsonl import read_jsonl_pages
+
+        pages = read_jsonl_pages(spark, args.input[len("jsonl:"):])
     else:
         pages = spark.read.parquet(args.input)
 

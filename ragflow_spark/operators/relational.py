@@ -11,7 +11,7 @@ import pandas as pd
 from pyspark.sql import Window, functions as F
 
 from ragflow_spark.functions.predicates import switch_predicate, switch_route
-from ragflow_spark.operators.registry import register, table
+from ragflow_spark.operators.registry import register, spread, table
 
 
 @register(
@@ -448,3 +448,63 @@ def template_render_full(spark, sf_dir):
         return params_json.map(lambda p: render_template(TEMPLATE_FULL, p))
 
     return d.select("doc_id", render(params).alias("rendered"))
+
+
+# ------------------------------------------------- per-group top-k
+
+TOPK_PER_GROUP_K = 3
+
+
+@register(
+    "topk_per_group",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {TOPK_PER_GROUP_K}
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-k rows per group WITHOUT a window — the scale-correct
+    two-phase shape: each scan partition first reduces to its own
+    per-group top-k (sorted-struct slice inside a hash aggregate, so
+    agg state is bounded by partition size and only k rows per
+    (partition, group) survive), then a second aggregate merges the
+    k-lists per group. A row_number window would shuffle EVERY row
+    into |groups| partitions — the classic few-groups straggler; here
+    the merge shuffle carries at most k * n_partitions rows per group.
+    Rank comes from the final slice position (posexplode), replaying
+    the oracle's n_chars DESC, doc_id ASC tie-break via the
+    (n_chars, -doc_id) struct ordering."""
+    d = spread(table(spark, sf_dir, "documents"))
+    k = TOPK_PER_GROUP_K
+    item = F.struct(
+        F.col("n_chars").alias("nc"),
+        (-F.col("doc_id")).alias("nid"),
+        F.col("doc_id").alias("doc_id"),
+    )
+    local = d.groupBy(
+        "source", F.spark_partition_id().alias("pid")
+    ).agg(
+        F.slice(
+            F.sort_array(F.collect_list(item), asc=False), 1, k
+        ).alias("cand")
+    )
+    merged = (
+        local.select("source", F.explode("cand").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("c"), asc=False), 1, k
+            ).alias("top")
+        )
+    )
+    return merged.select("source", F.posexplode("top")).select(
+        "source",
+        F.col("col.doc_id").alias("doc_id"),
+        F.col("col.nc").alias("n_chars"),
+        (F.col("pos") + 1).cast("bigint").alias("rk"),
+    )

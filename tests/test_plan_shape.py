@@ -397,3 +397,13 @@ def test_banded_lsh_recalls_planted_neardups():
     )
     assert recall >= 0.8, "near-identical vectors must collide in a band"
     assert selectivity <= 0.3, "unrelated vectors must mostly be pruned"
+
+
+def test_topk_per_group_is_two_phase_aggregate(spark, sf_dir, ops):
+    """Per-group top-k must be the local-topk-then-merge shape: two
+    hash aggregates, no Window (a row_number window shuffles every row
+    into |groups| partitions — the few-groups straggler)."""
+    df = ops.QUERIES["topk_per_group"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
