@@ -111,3 +111,33 @@ def revenue_by_nation(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "percentiles_by_source",
+    oracle="""
+    SELECT source,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY source
+    """,
+)
+def percentiles_by_source(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (the lineage/
+    observability rollup a 100 TB run reports per host/split: p50/p90/
+    p99 of document size, parse wall, etc.). Spark's `percentile`
+    aggregate and DuckDB's quantile_cont share the same interpolation
+    convention — verified value-identical, not just close. At crawl
+    scale the exact aggregate holds per-group sorted state, so for
+    billions of rows per group you'd swap in approx_percentile
+    (t-digest, bounded state, no exact oracle) — documented trade-off,
+    exact kept here because groups are bounded and the driver contract
+    wants value equality."""
+    d = table(spark, sf_dir, "documents")
+    p = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return d.groupBy("source").agg(
+        F.round(F.element_at(p, 1), 4).alias("p50"),
+        F.round(F.element_at(p, 2), 4).alias("p90"),
+        F.round(F.element_at(p, 3), 4).alias("p99"),
+    )
