@@ -352,3 +352,44 @@ def asof_last_login(spark, sf_dir):
             F.lit("never"),
         ).alias("asof_signup_ts"),
     )
+
+
+@register(
+    "cube_event_stats",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END,
+                    'ALL') AS user_parity,
+           count(*)::BIGINT AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY CUBE (event_type,
+                   CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END)
+    """,
+)
+def cube_event_stats(spark, sf_dir):
+    """Full CUBE grouping — every subset of (event_type, user_parity)
+    in ONE pass (ROLLUP's hierarchical cousin covers only prefixes;
+    CUBE also emits the per-parity-across-types slice). Spark expands
+    the grouping sets before the partial aggregate, so the map-side
+    combine still runs per set and the shuffle carries one partial row
+    per (set, key) — 2^d growth is in grouping sets, not input passes.
+    Spark-native coverage beyond the reference (SURVEY §2.6: the
+    reference has no grouping sets at all)."""
+    e = table(spark, sf_dir, "events")
+    parity = F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    return (
+        e.select(
+            F.col("event_type"), parity.alias("user_parity"), F.col("value")
+        )
+        .cube("event_type", "user_parity")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_parity", F.lit("ALL")).alias("user_parity"),
+            "n",
+            "total",
+        )
+    )
