@@ -76,6 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import ragflow_spark.operators as ops
+    from ragflow_spark.operators.registry import driver_order
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,10 +85,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, fn in ops.QUERIES.items()}
+    # managed order: never-driver-checked / new queries first, stable
+    # twice-green queries last (the driver records only the first 50)
+    return {name: wrap(ops.QUERIES[name]) for name in driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     import ragflow_spark.operators as ops
+    from ragflow_spark.operators.registry import driver_order
 
-    return dict(ops.ORACLES)
+    return {n: ops.ORACLES[n] for n in driver_order() if n in ops.ORACLES}

@@ -231,19 +231,6 @@ def main() -> None:
         "mb_per_sec": round(ext["mb_per_sec"], 2),
     }
     result["reps"] = reps
-    # the committed baselines are sf0.1/local[32]: ratios at any other
-    # scale would compare fixed overhead, not engine speed
-    baseline = load_baseline() if sf_val == 0.1 and cores == 32 else {}
-    if baseline:
-        ratios = {
-            k: round(v / baseline[k], 2)
-            for k, v in timings.items()
-            if k in baseline and baseline[k] > 0
-        }
-        result["baseline_ratios"] = ratios
-        result["regressions"] = sorted(
-            k for k, r in ratios.items() if r > 1.5
-        )
     if fat_stats:
         result["fat_pages"] = {
             "text_tile": fat,
@@ -252,8 +239,31 @@ def main() -> None:
             "docs_per_sec": round(fat_stats["docs_per_sec"], 1),
             "mb_per_sec": round(fat_stats["mb_per_sec"], 2),
         }
-    print(json.dumps(result))
+    # the committed baselines are sf0.1/local[32]: ratios at any other
+    # scale would compare fixed overhead, not engine speed
+    baseline = load_baseline() if sf_val == 0.1 and cores == 32 else {}
+    full = dict(result)
+    if baseline:
+        ratios = {
+            k: round(v / baseline[k], 2)
+            for k, v in timings.items()
+            if k in baseline and baseline[k] > 0
+        }
+        # per-query ratios go to the file only: r3's stdout JSON grew
+        # past the driver's tail-capture window and parsed as null —
+        # stdout carries just the headline + the regression names
+        full["baseline_ratios"] = ratios
+        result["regressions"] = full["regressions"] = sorted(
+            k for k, r in ratios.items() if r > 1.5
+        )
+    os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
+    with open(os.path.join(REPO, ".bench", "last_bench.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # stop BEFORE printing so no JVM shutdown chatter can land after
+    # (or interleaved with) the contract line; JSON is the final line
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
