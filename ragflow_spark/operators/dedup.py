@@ -375,7 +375,7 @@ def dedup_simhash(spark, sf_dir):
 # ------------------------------------------------ dedup components
 
 DUP_JACCARD = 0.5  # confirmed-duplicate edge threshold
-COMPONENTS_MAX_ITERS = 8  # >= dup-cluster diameter (chains are short)
+COMPONENTS_MAX_ITERS = 16  # dup clusters converge in 2-3; guard-only
 
 
 def _components_oracle() -> str:
@@ -401,59 +401,188 @@ def _components_oracle() -> str:
     """
 
 
+def connected_components(edges, max_iters: int = COMPONENTS_MAX_ITERS):
+    """Connected components over a symmetric (src, dst) edge list via
+    min-label propagation with pointer doubling; returns a
+    (doc_id, label) DataFrame.
+
+    Per round: (1) every node takes the min label among itself and its
+    neighbors (Rastogi et al., ICDE 2013 family); (2) label <-
+    label(label) — the pointer-doubling shortcut, so a path of
+    diameter d converges in O(log d) rounds instead of O(d). The
+    doubling join is legal because every label value IS a node id
+    (labels start as self and only ever move to the min of other
+    node labels), and label(x) <= x by the same monotonicity, so the
+    composed label can only improve.
+
+    Scale shape: both steps are narrow (id, label) joins — labels and
+    edges only, never text; localCheckpoint() per round truncates the
+    growing lineage (on a cluster: reliable checkpoint dir).
+    Convergence = unchanged label-sum scalar (labels only ever
+    decrease, so an unchanged sum == a fixpoint) — one 1-row collect
+    per round. If the cap is exhausted before the fixpoint the result
+    would be silently wrong (labels not yet propagated across the
+    component) — raise instead."""
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "label")
+        stepped = (
+            labels.select("doc_id", "label")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: left join is belt-and-braces (every label
+        # is a node id, so the match always exists)
+        lab2 = stepped.select(
+            F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
+        )
+        labels = (
+            stepped.join(lab2, stepped.label == lab2.l_id, "left")
+            .select(
+                "doc_id", F.coalesce("l_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev:
+            return labels
+        prev = s
+    raise RuntimeError(
+        f"connected_components: no fixpoint within {max_iters} rounds; "
+        "raise max_iters or use connected_components_star (O(log^2 n) "
+        "worst case) — returning would silently mislabel components"
+    )
+
+
+def connected_components_star(edges, max_iters: int = 50):
+    """Connected components via alternating large-star / small-star
+    edge rewrites (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014): provably O(log^2 n) rounds on ANY graph
+    shape, vs min-label propagation's O(diameter)-ish worst case —
+    the scale path for adversarial (long-chain) duplicate graphs.
+
+    large-star(u): every strictly-larger neighbor of u is re-pointed
+    at min(N(u) ∪ {u}); small-star(u): every smaller-or-equal
+    neighbor (and u itself) is re-pointed at that min. The edge set
+    monotonically contracts toward stars centered at component
+    minima; at the fixpoint each non-root node carries exactly one
+    edge (node -> its component's min id).
+
+    Each phase is one groupBy + one re-join of (long, long) edges —
+    never text — with distinct() bounding growth; the edge list is
+    localCheckpoint()ed per round (cluster: reliable checkpoint
+    dir). Convergence = unchanged (count, sum(src), sum(dst))
+    signature of the canonical directed edge set."""
+    # canonical direction: src > dst ("points at the smaller id")
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    singles = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+
+    def signature(df):
+        r = df.agg(
+            F.count(F.lit(1)),
+            F.sum("src"),
+            F.sum("dst"),
+            # order-insensitive content hash; XOR never overflows
+            # (ANSI sum over xxhash64 would) and the edge set is
+            # distinct so XOR cancellation can't hide a change
+            F.expr("bit_xor(xxhash64(src, dst))"),
+        ).collect()[0]
+        return tuple(r)
+
+    prev = signature(e)
+    for _ in range(max_iters):
+        # large-star over the symmetric view: for each u, neighbors
+        # v > u re-point at m(u) = min(N(u) ∪ {u})
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on the (already canonical src>dst) directed view:
+        # u's smaller neighbors and u itself re-point at m(u)
+        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        j = large.join(smins, "src")
+        small = (
+            j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(j.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = signature(small)
+        e = small
+        if sig == prev:
+            # fixpoint: e is a star forest (src -> component min)
+            labels = e.select(
+                F.col("src").alias("doc_id"), F.col("dst").alias("label")
+            )
+            roots = singles.join(
+                e.select(F.col("src").alias("doc_id")), "doc_id", "left_anti"
+            ).withColumn("label", F.col("doc_id"))
+            return labels.union(roots)
+        prev = sig
+    raise RuntimeError(
+        f"connected_components_star: no fixpoint within {max_iters} rounds"
+    )
+
+
 @register("dedup_components", oracle=_components_oracle())
 def dedup_components(spark, sf_dir):
     """The dedup pipeline's actual deliverable: connected components
     over confirmed duplicate pairs (jaccard >= {DUP_JACCARD} edges
     from the MinHash->LSH->verify path), each doc labeled with its
     component's min doc_id — keep the representative, drop the rest.
-    Iterative min-label propagation (the MapReduce connected-
-    components family, Rastogi et al., "Finding connected components
-    in MapReduce", ICDE 2013): per round, every node takes the min
-    label among itself and its neighbors; converges in O(diameter)
-    rounds (dup clusters are near-cliques, so 2-3 in practice, capped
-    at {COMPONENTS_MAX_ITERS}).
-
-    Scale shape: per round one narrow (id, label) join against the
-    edge list + a min-aggregate — labels and edges only, never text;
-    localCheckpoint() truncates the growing lineage each round (on a
-    cluster: reliable checkpoint dir); convergence is detected by the
-    label-sum scalar (labels only ever decrease, so an unchanged sum
-    == a fixpoint) — one 1-row collect per round, no data to the
-    driver. The DuckDB oracle replays it as a recursive-CTE
-    transitive closure."""
+    Delegates to :func:`connected_components` — min-label propagation
+    with pointer doubling (O(log diameter) rounds) and a hard error if
+    the round cap is exhausted before the label-sum fixpoint, so a
+    long chain-shaped component can never be silently mislabeled.
+    The DuckDB oracle replays it as a recursive-CTE transitive
+    closure."""
     pairs = neardup_jaccard(spark, sf_dir).filter(
         F.col("jaccard") >= DUP_JACCARD
     )
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # materialize the edge list ONCE: it sits inside every round's
     # join, and without this the whole LSH+verify pipeline above would
     # re-execute per iteration
-    edges = fwd.union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
-    nodes = (
-        fwd.select(F.col("src").alias("doc_id"))
-        .union(fwd.select(F.col("dst").alias("doc_id")))
-        .distinct()
-    )
-    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
-    prev = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(COMPONENTS_MAX_ITERS):
-        prop = edges.join(
-            labels, edges.src == labels.doc_id
-        ).select(F.col("dst").alias("doc_id"), "label")
-        labels = (
-            labels.select("doc_id", "label")
-            .union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
         )
-        s = labels.agg(F.sum("label")).collect()[0][0]
-        if s == prev:
-            break
-        prev = s
+        .localCheckpoint()
+    )
+    labels = connected_components(edges)
     return labels.select(
         "doc_id", F.col("label").cast("bigint").alias("component_id")
     )
