@@ -69,7 +69,11 @@ def snapshots(out_dir: str) -> list[dict]:
 
 
 def record_snapshot(
-    out_dir: str, run_id: str, wave_index: int, splits: list[int]
+    out_dir: str,
+    run_id: str,
+    wave_index: int,
+    splits: list[int],
+    note: str | None = None,
 ) -> int:
     """Append one snapshot for a committed wave; returns snapshot_id.
 
@@ -86,6 +90,8 @@ def record_snapshot(
         "splits": sorted(int(s) for s in splits),
         "committed_at": time.time(),
     }
+    if note:
+        rec["note"] = note
     tmp = os.path.join(d, f".snap-{sid:06d}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(rec, f)
@@ -146,6 +152,22 @@ def run_resumable(
     hot = compute_hot_hosts(pages, n_splits=n_splits, sample=hot_host_sample)
     staged = assign_splits(pages, n_splits, salt_factor, hot)
     done = completed_splits(spark, out_dir)
+    # Reconcile the snapshot chain with the metrics manifest: the wave
+    # commit is two non-atomic steps (metrics append, then snapshot),
+    # so a crash between them leaves splits that resume will rightly
+    # skip (metrics row exists, output committed) but that no snapshot
+    # exposes — read_extracted_asof at the latest snapshot would
+    # silently diverge from read_outputs forever. Re-cover them in one
+    # reconciliation snapshot before starting new waves. (Under
+    # Iceberg both steps are one transaction and this is a no-op.)
+    snap_covered: set[int] = set()
+    for s in snapshots(out_dir):
+        snap_covered.update(s["splits"])
+    orphaned = sorted(done - snap_covered)
+    if orphaned:
+        record_snapshot(
+            out_dir, run_id, -1, orphaned, note="metrics-snapshot reconcile"
+        )
     todo = sorted(set(range(n_splits)) - done)
     ex_path = os.path.join(out_dir, "extracted")
     m_path = os.path.join(out_dir, "metrics")

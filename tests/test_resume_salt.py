@@ -198,3 +198,48 @@ def test_snapshot_time_travel(spark, pages, tmp_path):
     assert {s["run_id"] for s in snaps2[1:]} == {"r2"}
     ex2, _ = read_outputs(spark, out2)
     assert read_extracted_asof(spark, out2, 3).count() == ex2.count()
+
+
+def test_snapshot_reconcile_after_partial_commit(spark, pages, tmp_path):
+    """Crash between the metrics append and record_snapshot (the two
+    non-atomic wave-commit steps) must not permanently hide committed
+    splits from as-of reads: the next run_resumable reconciles the
+    chain with a snapshot covering metrics-complete-but-unsnapshotted
+    splits (ADVICE r3 medium)."""
+    import os
+
+    from ragflow_spark.plans.checkpoint import (
+        read_extracted_asof,
+        read_outputs,
+        run_resumable,
+        snapshots,
+    )
+
+    out = str(tmp_path / "rec")
+    run_resumable(spark, pages, out, run_id="r1", n_splits=8, wave_size=3)
+    snaps = snapshots(out)
+    assert len(snaps) == 3
+    # simulate the crash: metrics committed (untouched) but the last
+    # wave's snapshot never landed
+    last = sorted(
+        n
+        for n in os.listdir(os.path.join(out, "snapshots"))
+        if n.startswith("snap-")
+    )[-1]
+    lost_splits = set(snaps[-1]["splits"])
+    os.remove(os.path.join(out, "snapshots", last))
+    full, _m = read_outputs(spark, out)
+    hidden = read_extracted_asof(spark, out, 2)
+    assert hidden.count() < full.count()  # the divergence being fixed
+
+    run_resumable(spark, pages, out, run_id="r2", n_splits=8, wave_size=3)
+    snaps2 = snapshots(out)
+    # no new extraction work (all splits metrics-complete): exactly one
+    # reconciliation snapshot was appended, re-covering the lost splits
+    assert len(snaps2) == 3
+    assert snaps2[-1]["note"] == "metrics-snapshot reconcile"
+    assert set(snaps2[-1]["splits"]) == lost_splits
+    assert (
+        read_extracted_asof(spark, out, snaps2[-1]["snapshot_id"]).count()
+        == full.count()
+    )
