@@ -141,3 +141,45 @@ def percentiles_by_source(spark, sf_dir):
         F.round(F.element_at(p, 2), 4).alias("p90"),
         F.round(F.element_at(p, 3), 4).alias("p99"),
     )
+
+
+APPROX_PCT_ACCURACY = 10000  # GK sketch: rank error <= n / accuracy
+
+
+@register(
+    "percentiles_by_source_approx",
+    oracle="""
+    SELECT source,
+           quantile_disc(n_chars, 0.5)::BIGINT AS p50,
+           quantile_disc(n_chars, 0.9)::BIGINT AS p90,
+           quantile_disc(n_chars, 0.99)::BIGINT AS p99
+    FROM documents GROUP BY source
+    """,
+)
+def percentiles_by_source_approx(spark, sf_dir):
+    """The bounded-state twin of percentiles_by_source (r3 verdict
+    'what's wrong' #1): approx_percentile is the Greenwald-Khanna
+    quantile sketch — O(accuracy * log n) state per group regardless
+    of group size, so a 100 TB rollup with billions of rows in one
+    group is a fixed-memory aggregate, not an OOM. Guarantee: the
+    returned value's rank is within n/accuracy of the target rank
+    (tests/test_approx_percentile_bound.py pins this against the
+    exact aggregate on adversarially skewed data).
+
+    Oracle note: below the sketch's compression threshold the GK
+    summary stores every value, and its discrete-rank answer equals
+    DuckDB's quantile_disc element-for-element (verified at sf0.001 /
+    0.01 / 0.1, where per-group n < accuracy); at real scale the
+    value is approximate and the oracle no longer applies — that is
+    the documented trade, with the exact interpolating query kept
+    above as the value-equality row."""
+    d = table(spark, sf_dir, "documents")
+    p = F.expr(
+        f"approx_percentile(n_chars, array(0.5, 0.9, 0.99),"
+        f" {APPROX_PCT_ACCURACY})"
+    )
+    return d.groupBy("source").agg(
+        F.element_at(p, 1).alias("p50"),
+        F.element_at(p, 2).alias("p90"),
+        F.element_at(p, 3).alias("p99"),
+    )

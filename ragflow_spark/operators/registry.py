@@ -35,6 +35,8 @@ PRIORITY_HEAD = [
     "categorize_route",
     "token_truncate",
     "fingerprint_winnow",
+    # round-4 additions
+    "percentiles_by_source_approx",
 ]
 
 # Trivial relational queries, driver-green in both r2 and r3 and
