@@ -61,15 +61,19 @@ def extract_pages_stats(spark, sf_dir):
     "extract_text_hashes_plain",
     oracle="""
     WITH w AS (
-      SELECT doc_id, str_split(text, ' ') AS words FROM documents
+      SELECT doc_id, text, str_split(text, ' ') AS words FROM documents
       WHERE doc_id % 20 IN (14, 15, 16, 17)
     ), p AS (
-      SELECT doc_id, words, len(words) AS n,
+      SELECT doc_id, text, words, len(words) AS n,
              greatest(8, len(words) // 6) AS per
       FROM w
     ), paras AS (
       SELECT doc_id,
-        CASE WHEN n = 0 THEN ['empty document body'] ELSE
+        -- real empty signal: str_split('', ' ') is [''] so n is never
+        -- 0; all-whitespace text is the case Python's split() maps to
+        -- [] -> 'empty document body' (ADVICE r3). Otherwise assumes
+        -- the synthesizer's non-empty single-space-separated contract.
+        CASE WHEN length(trim(text)) = 0 THEN ['empty document body'] ELSE
           list_transform(
             range(least(6, cast(ceil(n * 1.0 / per) AS INT))),
             i -> array_to_string(words[i * per + 1 : (i + 1) * per], ' ')
@@ -101,6 +105,83 @@ def extract_text_hashes_plain(spark, sf_dir):
     return (
         ex.withColumn("doc_id", doc_id)
         .filter((F.col("doc_id") % 20).isin(14, 15, 16, 17))
+        .select(
+            "doc_id",
+            F.md5(F.coalesce("extracted_text", F.lit(""))).alias("text_md5"),
+        )
+    )
+
+
+@register(
+    "extract_text_hashes_structured",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, str_split(text, ' ') AS words FROM documents
+      WHERE doc_id % 20 IN (11, 12)
+    ), p AS (
+      SELECT doc_id, text, words, len(words) AS n,
+             greatest(8, len(words) // 6) AS per
+      FROM w
+    ), paras AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN ['empty document body'] ELSE
+          list_transform(
+            range(least(6, cast(ceil(n * 1.0 / per) AS INT))),
+            i -> array_to_string(words[i * per + 1 : (i + 1) * per], ' ')
+          ) END AS ps
+      FROM p
+    ), book AS (
+      SELECT doc_id,
+             'Book ' || doc_id || chr(10) || array_to_string(
+               list_transform(
+                 range(len(ps)),
+                 i -> 'Chapter ' || (i + 1) || chr(10) || ps[i + 1]
+               ), chr(10)) AS t
+      FROM paras WHERE doc_id % 20 = 11
+    ), paper AS (
+      SELECT doc_id,
+             'Paper ' || doc_id || chr(10) || 'Abstract' || chr(10) || ps[1]
+             || chr(10)
+             || CASE WHEN len(ps) > 2 THEN array_to_string(
+                  list_transform(
+                    range(len(ps) - 2),
+                    i -> (i + 1) || '. Section' || chr(10) || ps[i + 2]
+                  ), chr(10)) || chr(10) ELSE '' END
+             -- rtrim: the 80-char cut can land on a space, which the
+             -- kernel's whitespace normalization strips
+             || 'References' || chr(10) || '[1] '
+             || rtrim(substr(ps[len(ps)], 1, 80)) AS t
+      FROM paras WHERE doc_id % 20 = 12
+    )
+    SELECT doc_id, md5(t) AS text_md5 FROM book
+    UNION ALL
+    SELECT doc_id, md5(t) AS text_md5 FROM paper
+    """,
+)
+def extract_text_hashes_structured(spark, sf_dir):
+    """Second partial VALUE oracle for byte-level extraction (r3
+    verdict item #6): the heading/book template (doc_id % 20 == 11,
+    sources/pages.py:133-137 — h1 + per-paragraph h2 chapters) and the
+    paper template (== 12, pages.py:138-146 — h1/Abstract/numbered
+    sections/References with the last paragraph truncated to 80 chars)
+    reduce to pure relational string assembly over documents.text, so
+    their extracted bytes are SQL-reconstructible just like the plain
+    routes. Together with extract_text_hashes_plain this pins ~30% of
+    the byte surface to value oracles; the residue (entity/charset/
+    malformed/whitespace/huge-node/table routes 0-10, 13 and the PDF
+    routes 18-19) intentionally stays golden-pinned: those branches
+    exist precisely because their outputs are NOT naive functions of
+    the source text (charset transcoding, entity decode, tag
+    recovery)."""
+    pages = synthesize_pages(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    staged = assign_splits(pages, n_splits=32, salt_factor=8, hot_hosts=None)
+    ex = extract_pages(staged)
+    doc_id = F.regexp_extract("url", r"doc-(\d+)$", 1).cast("bigint")
+    return (
+        ex.withColumn("doc_id", doc_id)
+        .filter((F.col("doc_id") % 20).isin(11, 12))
         .select(
             "doc_id",
             F.md5(F.coalesce("extracted_text", F.lit(""))).alias("text_md5"),

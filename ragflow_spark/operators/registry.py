@@ -37,6 +37,7 @@ PRIORITY_HEAD = [
     "fingerprint_winnow",
     # round-4 additions
     "percentiles_by_source_approx",
+    "extract_text_hashes_structured",
 ]
 
 # Trivial relational queries, driver-green in both r2 and r3 and

@@ -31,10 +31,12 @@ def read_jsonl_pages(spark: SparkSession, path_glob: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .json(path_glob)
     )
+    # unbase64(null) stays null — a page with no html must round-trip
+    # as null, not b'' (ADVICE r3: the old coalesce conflated the two)
     return raw.select(
         "url",
         F.to_timestamp("warc_ts").alias("warc_ts"),
-        F.unbase64(F.coalesce("html_b64", F.lit(""))).alias("html"),
+        F.unbase64("html_b64").alias("html"),
         "text",
         "lang",
     )
@@ -47,7 +49,11 @@ def write_jsonl_pages(pages: DataFrame, path: str) -> None:
     (
         pages.select(
             "url",
-            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("warc_ts"),
+            # microsecond precision: crawl timestamps can carry
+            # sub-second parts; to_timestamp parses the fraction back
+            F.date_format(
+                "warc_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).alias("warc_ts"),
             F.base64("html").alias("html_b64"),
             "text",
             "lang",

@@ -14,11 +14,11 @@ def test_jsonl_round_trip_and_extraction_parity(spark, sf_dir, tmp_path):
     back = read_jsonl_pages(spark, out)
 
     a = {
-        r.url: (bytes(r.html or b""), r.text, r.lang)
+        r.url: (None if r.html is None else bytes(r.html), r.text, r.lang, r.warc_ts)
         for r in pages.collect()
     }
     b = {
-        r.url: (bytes(r.html or b""), r.text, r.lang)
+        r.url: (None if r.html is None else bytes(r.html), r.text, r.lang, r.warc_ts)
         for r in back.collect()
     }
     assert a == b, "JSONL round trip must be byte-exact on html"
@@ -29,3 +29,38 @@ def test_jsonl_round_trip_and_extraction_parity(spark, sf_dir, tmp_path):
     ta = {r.url: r.extracted_text for r in ex.select("url", "extracted_text").collect()}
     tb = {r.url: r.extracted_text for r in ex0.select("url", "extracted_text").collect()}
     assert ta == tb
+
+
+def test_jsonl_edge_values_round_trip(spark, tmp_path):
+    """ADVICE r3: null html must stay null (not become b'') and
+    sub-second warc_ts must keep its fraction through the dump."""
+    import datetime as dt
+
+    from ragflow_spark.sources.jsonl import read_jsonl_pages, write_jsonl_pages
+
+    rows = [
+        (
+            "https://a.example/x",
+            dt.datetime(2024, 5, 1, 12, 34, 56, 123456),
+            b"<html>hi</html>",
+            "hi",
+            "en",
+        ),
+        ("https://a.example/null-html", dt.datetime(2024, 5, 1), None, "t", "en"),
+        ("https://a.example/empty-html", dt.datetime(2024, 5, 1), b"", "", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = str(tmp_path / "edge")
+    write_jsonl_pages(pages, out)
+    back = {
+        r.url: (None if r.html is None else bytes(r.html), r.warc_ts)
+        for r in read_jsonl_pages(spark, out).collect()
+    }
+    assert back["https://a.example/x"] == (
+        b"<html>hi</html>",
+        dt.datetime(2024, 5, 1, 12, 34, 56, 123456),
+    )
+    assert back["https://a.example/null-html"] == (None, dt.datetime(2024, 5, 1))
+    assert back["https://a.example/empty-html"] == (b"", dt.datetime(2024, 5, 1))
