@@ -118,22 +118,32 @@ def _load_pil():
 
 
 def decode_real_image(payload: bytes) -> np.ndarray:
-    """Real codec decode (PNG/JPEG/GIF/...) via PIL when available:
-    grayscale uint8 pixel array, same shape contract as the fake FIMG
-    codec so thumbnail/feature kernels downstream are codec-agnostic.
-    Raises NotImplementedError when no codec library is installed —
-    callers degrade to a DECODE_REAL_CODEC_UNAVAILABLE coded row
-    (error-as-row), so the sandbox (no PIL) and a production image
-    (pip install pillow) run the same plumbing."""
+    """Real codec decode: grayscale uint8 pixel array, same shape
+    contract as the fake FIMG codec so thumbnail/feature kernels
+    downstream are codec-agnostic. Resolver order: PIL/pillow when
+    installed (all formats); else the vendored pure-python PNG decoder
+    (kernels/png.py — byte-identical grayscale arithmetic to PIL's
+    convert('L'), so the two paths agree where they overlap); else
+    NotImplementedError, which callers degrade to a
+    DECODE_REAL_CODEC_UNAVAILABLE coded row (error-as-row). The
+    sandbox therefore exercises REAL PNG decode (r3 verdict #7), and
+    only JPEG/GIF/RIFF still need pillow."""
     image_mod = _load_pil()
-    if image_mod is None:
-        raise NotImplementedError(
-            "real image decode requires PIL/pillow (not installed)"
-        )
-    import io
+    if image_mod is not None:
+        import io
 
-    with image_mod.open(io.BytesIO(payload)) as im:
-        return np.asarray(im.convert("L"), dtype=np.uint8)
+        with image_mod.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+    from ragflow_spark.kernels.png import decode_png_gray
+
+    if bytes(payload[:4]) == b"\x89PNG":
+        # full-signature check happens inside: a payload that *claims*
+        # PNG but is corrupt raises ValueError -> DECODE_TRUNCATED row
+        return decode_png_gray(payload)
+    raise NotImplementedError(
+        "real image decode requires PIL/pillow (not installed; only the "
+        "vendored PNG decoder is available)"
+    )
 
 
 def decode_media(payload: bytes | None) -> DecodedMedia:

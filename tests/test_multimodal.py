@@ -47,16 +47,22 @@ def test_error_as_row_codes():
     assert decode_media(b"garbage!").decode_code == DECODE_UNKNOWN_FORMAT
     truncated = encode_media(0)[:-5]
     assert decode_media(truncated).decode_code == DECODE_TRUNCATED
-    # real codec magic -> coded row, not an exception
+    # corrupt PNG through the vendored real decoder -> coded row
     png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
     m = decode_media(png)
     assert m.media_type == "png"
-    assert m.decode_code == DECODE_REAL_CODEC_UNAVAILABLE
+    assert m.decode_code == DECODE_TRUNCATED
+    # formats with no vendored decoder -> codec-unavailable row
+    jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    m2 = decode_media(jpg)
+    assert m2.media_type == "jpeg"
+    assert m2.decode_code == DECODE_REAL_CODEC_UNAVAILABLE
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_stubbed_only_beyond_png():
+    # PNG is vendored now (r3 verdict #7); JPEG still needs pillow
     with pytest.raises(NotImplementedError):
-        decode_real_image(b"\x89PNG\r\n\x1a\n")
+        decode_real_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
 
 
 def test_thumbnail_block_mean():
@@ -88,13 +94,14 @@ def _png_stub_payload() -> bytes:
 
 
 def test_real_codec_absent_degrades_to_coded_row():
-    """No PIL in this container: a real-format magic must yield a
-    DECODE_REAL_CODEC_UNAVAILABLE coded row, never an exception."""
+    """No PIL in this container: a real-format magic with no vendored
+    decoder must yield a DECODE_REAL_CODEC_UNAVAILABLE coded row,
+    never an exception."""
     from ragflow_spark.kernels import media
 
     assert media._load_pil() is None  # the sandbox truly lacks PIL
-    d = media.decode_media(_png_stub_payload())
-    assert d.media_type == "png"
+    d = media.decode_media(b"GIF89a" + b"\x00" * 10)
+    assert d.media_type == "gif"
     assert d.decode_code == media.DECODE_REAL_CODEC_UNAVAILABLE
 
 
