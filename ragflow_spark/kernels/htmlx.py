@@ -115,19 +115,39 @@ class Element:
         self.children: list[object] = []  # Element | str
 
 
-def _dom_open(stack: list[Element], tag: str, attrs_list) -> None:
-    """Shared DOM action for a start tag (tag already lowercase)."""
-    attrs = {}
-    for k, v in attrs_list:
-        if k not in attrs:  # first occurrence wins, deterministic
-            attrs[k.lower()] = v if v is not None else ""
-    if tag in _P_CLOSERS and len(stack) > 1 and stack[-1].tag == "p":
-        stack.pop()
-    if tag in _AUTOCLOSE and len(stack) > 1 and stack[-1].tag in _AUTOCLOSE[tag]:
-        stack.pop()
+_EMPTY_ATTRS: dict[str, str] = {}  # shared read-only (never mutated post-build)
+
+
+def _dom_open(
+    stack: list[Element],
+    tag: str,
+    attrs_list,
+    # bound as defaults: global-lookup-free on the per-tag hot path
+    _p_closers=_P_CLOSERS,
+    _autoclose=_AUTOCLOSE,
+    _void=VOID_TAGS,
+) -> None:
+    """Shared DOM action for a start tag (tag already lowercase;
+    attribute names may arrive in any case — lowered here so the
+    first-occurrence-wins rule matches stdlib html.parser, which
+    lowers names before dispatching to the handler)."""
+    if attrs_list:
+        attrs = {}
+        for k, v in attrs_list:
+            k = k.lower()
+            if k not in attrs:  # first occurrence wins, deterministic
+                attrs[k] = v if v is not None else ""
+    else:
+        attrs = _EMPTY_ATTRS
+    if len(stack) > 1:
+        top = stack[-1].tag
+        if top == "p" and tag in _p_closers:
+            stack.pop()
+        elif tag in _autoclose and top in _autoclose[tag]:
+            stack.pop()
     el = Element(tag, attrs)
     stack[-1].children.append(el)
-    if tag not in VOID_TAGS:
+    if tag not in _void:
         stack.append(el)
 
 
@@ -197,8 +217,28 @@ def parse_dom_reference(text: str) -> Element:
 from html import unescape as _unescape  # noqa: E402  (kernel-local)
 
 _CDATA_ELEMS = ("script", "style")  # HTMLParser.CDATA_CONTENT_ELEMENTS
-_SIMPLE_OPEN_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)\s*>")
-_SIMPLE_CLOSE_RE = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_FAST_ATTR_RE = re.compile(
+    r"([a-zA-Z][^\s/=>]*)\s*=\s*(\"[^\"]*\"|'[^']*')"
+)
+# Master event scanner: ONE C-level match per token instead of a
+# Python find + per-form match chain. lastindex dispatches:
+#   1 text run   2 <tag>   5 <tag a="v"...[/]> ((/?) always
+#   participates, so lastindex lands on it)   6 </tag>
+#   7 <!--comment-->   8 <tag/> (attr-less self-closing)
+# Any token it cannot match (exotic tag names, bare/valueless attrs,
+# declarations, PIs, unterminated constructs, lone '<') falls through
+# to the stdlib-mirror branch chain below, which stays byte-equal to
+# html.parser by construction.
+_MASTER_RE = re.compile(
+    r"([^<]+)"
+    r"|<([a-zA-Z][a-zA-Z0-9]*)\s*>"
+    r"|<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z][^\s/=>]*\s*=\s*(?:\"[^\"]*\"|'[^']*'))+)\s*(/?)>"
+    r"|</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+    r"|(<!--.*?--\s*>)"
+    r"|<([a-zA-Z][a-zA-Z0-9]*)\s*/>",
+    re.DOTALL,
+)
 _TAGFIND_RE = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
 _ATTRFIND_RE = re.compile(
     r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
@@ -308,28 +348,59 @@ def fast_parse_dom(text: str) -> Element:
             cdata_elem = None
             i = m.end()
             continue
-        j = text.find("<", i)
-        if j < 0:
-            seg = _unescape(text[i:]) if "&" in text[i:] else text[i:]
-            if seg:  # unescape can yield '' (invalid charrefs drop)
-                stack[-1].children.append(seg)
-            return root
-        if j > i:
-            seg = text[i:j]
-            if "&" in seg:
-                seg = _unescape(seg)
-            if seg:
-                stack[-1].children.append(seg)
-        c = text[j + 1 : j + 2]
-        if c in _ASCII_LETTERS:  # starttagopen
-            m = _SIMPLE_OPEN_RE.match(text, j)
-            if m:  # fast path: <tag> with no attributes
-                tag = m.group(1).lower()
+        m = _MASTER_RE.match(text, i)
+        if m is not None:
+            li = m.lastindex
+            if li == 1:  # text run (up to the next '<' or EOF)
+                seg = m.group(1)
+                if "&" in seg:
+                    seg = _unescape(seg)
+                if seg:  # unescape can yield '' (invalid charrefs drop)
+                    stack[-1].children.append(seg)
+                i = m.end()
+                continue
+            if li == 2:  # <tag> with no attributes
+                tag = m.group(2).lower()
                 _dom_open(stack, tag, ())
                 if tag in _CDATA_ELEMS:
                     cdata_elem = tag
                 i = m.end()
                 continue
+            if li == 5:  # <tag a="v" ...> all-quoted attributes
+                tag = m.group(3).lower()
+                attrs = []
+                for am in _FAST_ATTR_RE.finditer(m.group(4)):
+                    v = am.group(2)[1:-1]
+                    if "&" in v:  # unescape is identity otherwise
+                        v = _unescape(v)
+                    attrs.append((am.group(1), v))
+                _dom_open(stack, tag, attrs)
+                if m.group(5):  # '/>': self-closing, pop right back
+                    if tag not in VOID_TAGS:
+                        stack.pop()
+                elif tag in _CDATA_ELEMS:
+                    cdata_elem = tag
+                i = m.end()
+                continue
+            if li == 6:  # </tag>
+                _dom_close(stack, m.group(6).lower())
+                i = m.end()
+                continue
+            if li == 8:  # <tag/> attr-less self-closing (startendtag)
+                tag = m.group(8).lower()
+                _dom_open(stack, tag, ())
+                if tag not in VOID_TAGS:
+                    stack.pop()
+                i = m.end()
+                continue
+            # li == 7: well-terminated comment — dropped
+            i = m.end()
+            continue
+        # rare token at a '<' the master scanner cannot claim:
+        # stdlib-mirror branch chain (byte-equal to html.parser)
+        j = i
+        c = text[j + 1 : j + 2]
+        if c in _ASCII_LETTERS:  # starttagopen
             endpos = _whole_start_tag_end(text, j)
             if endpos < 0:
                 k = -1
@@ -370,12 +441,9 @@ def fast_parse_dom(text: str) -> Element:
                 i = endpos
                 continue
         elif c == "/":
-            m = _SIMPLE_CLOSE_RE.match(text, j)
-            if m:  # fast path: </tag>
-                _dom_close(stack, m.group(1).lower())
-                i = m.end()
-                continue
-            # parse_endtag (non-CDATA branches only — CDATA handled above)
+            # parse_endtag (non-CDATA branches only — CDATA handled
+            # above; the plain </tag> form was claimed by the master
+            # scanner, so only whitespace/bogus end-tag forms reach here)
             gt = text.find(">", j + 1)
             if gt < 0:
                 k = -1

@@ -89,6 +89,15 @@ MALFORMED = [
     "<p attr>bare attr</p>",
     "<p a=1 b='2' c=\"3\" d>vals</p>",
     "<p a=1 a=2>dup</p>",
+    '<p a="1" A="2">dup mixed case, first wins</p>',
+    '<p A="1" a="2">dup mixed case, upper first</p>',
+    '<div CLASS="x">upper attr name</div>',
+    '<div class="a" class="b">dup quoted (fast-attr path)</div>',
+    '<img src="a" alt=\'b\'/>mixed quotes selfclose',
+    '<div a="v1"/ >slash before space</div>',
+    '<div a="x<y">lt in value</div>',
+    '<div a="x&amp;y" b="plain">entity in fast-attr value</div>',
+    '<DiV a="1">mixed-case tag with attrs</dIv>',
     "<p a = '&amp;'>entity in attr</p>",
     "<br/><span/>selfclose</span>",
     "<script>if (a < b && c > d) { x('</scr'+'ipt>'); }</script>after",
@@ -141,6 +150,13 @@ _HTMLISH = st.lists(
             "<![if]>",
             "<![",
             "quo",
+            # attribute-shaped tokens: exercise the master-scanner
+            # fast-attr branch and its fallback boundary
+            'a="1"',
+            "A='2'",
+            "<div ",
+            "/>",
+            'class="x"',
         ]
     ),
     max_size=40,
