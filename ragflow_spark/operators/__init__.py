@@ -8,6 +8,7 @@ registry to the correctness driver.
 
 from ragflow_spark.operators import (  # noqa: F401
     analytics,
+    corpus,
     dedup,
     events,
     extraction,

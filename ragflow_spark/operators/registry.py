@@ -38,6 +38,9 @@ PRIORITY_HEAD = [
     # round-4 additions
     "percentiles_by_source_approx",
     "extract_text_hashes_structured",
+    "repetition_signals",
+    "segment_dedup",
+    "pii_redact_stats",
 ]
 
 # Trivial relational queries, driver-green in both r2 and r3 and

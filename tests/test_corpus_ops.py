@@ -1,0 +1,133 @@
+"""Semantics of the corpus-cleanup operators (operators/corpus.py):
+keep-first span dedup, Gopher repetition signals (modal 2-gram with
+lexicographic tie-break), PII redaction. Cross-engine value equality
+is covered by test_oracle_parity.py; these pin the SEMANTICS on
+crafted corpora where the expected answer is hand-checkable, plus a
+seeded randomized differential against a pure-Python reference for
+the run-length 2-gram scan."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ragflow_spark.operators as ops
+from ragflow_spark.operators.corpus import EMAIL_RE, IP_RE, PHONE_RE
+
+
+def _write_documents(tmp_path, texts, sources=None):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": sources or ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_segment_dedup_keep_first(spark, tmp_path):
+    # 'a b c' occurs in doc 0 (pos 0) and doc 1 (pos 0): keeper is the
+    # min (doc_id, pos) occurrence, so doc 1 loses its copy; doc 2 is
+    # untouched.
+    d = _write_documents(
+        tmp_path, ["a b c d e f", "a b c x y z", "q r s"]
+    )
+    row = ops.QUERIES["segment_dedup"](spark, d).collect()[0]
+    assert row.n_docs == 3
+    assert row.total_segs == 5  # 2 + 2 + 1
+    assert row.removed_segs == 1
+    assert row.empty_docs == 0
+    # doc 1 keeps only 'x y z' -> kept chars = 11 + 5 + 5
+    assert row.kept_chars == len("a b c d e f") + len("x y z") + len("q r s")
+
+
+def test_segment_dedup_fully_removed_doc(spark, tmp_path):
+    # doc 1 is exactly the duplicated span: it empties entirely but
+    # must still be counted (the regroup cannot drop it).
+    d = _write_documents(tmp_path, ["a b c d", "a b c", "a b c z z z"])
+    row = ops.QUERIES["segment_dedup"](spark, d).collect()[0]
+    assert row.n_docs == 3
+    # segs: doc0 ['a b c','d'], doc1 ['a b c'], doc2 ['a b c','z z z']
+    assert row.total_segs == 5
+    assert row.removed_segs == 2  # docs 1 and 2 lose 'a b c'
+    assert row.empty_docs == 1
+
+
+def test_repetition_modal_2gram_and_tiebreak(spark, tmp_path):
+    # doc 0: 'x y' occurs twice (modal); doc 1: every 2-gram unique ->
+    # counts tie at 1, lexicographically smallest gram wins; doc 2:
+    # single word -> no 2-gram, top2 = 0.
+    d = _write_documents(tmp_path, ["x y x y", "b a c", "solo"])
+    rows = ops.QUERIES["repetition_signals"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 3
+    # doc0: best run 2, gram 'x y' (3 chars), text len 7 -> 6/7
+    # doc1: tie -> 'a c' (3 chars), len 5 -> 3/5
+    # doc2: 0
+    exp = round((round(2 * 3 / 7, 4) + round(3 / 5, 4) + 0.0) / 3, 4)
+    assert r.avg_top2_frac == pytest.approx(exp, abs=1e-4)
+    assert r.flagged_repetitive == 2  # 0.8571 and 0.6 both > 0.2
+
+
+def _py_top2(text):
+    ws = text.split(" ")
+    if len(ws) < 2:
+        return 0.0
+    grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    cnt = Counter(grams)
+    best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    return round(best[1] * len(best[0]) / len(text), 4)
+
+
+def test_repetition_scan_matches_python_reference(spark, tmp_path):
+    rng = np.random.default_rng(42)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+        for _ in range(60)
+    ]
+    d = _write_documents(tmp_path, texts)
+    r = ops.QUERIES["repetition_signals"](spark, d).collect()[0]
+    exp_avg = round(sum(_py_top2(t) for t in texts) / len(texts), 4)
+    assert r.avg_top2_frac == pytest.approx(exp_avg, abs=1e-4)
+    exp_flag = sum(_py_top2(t) > 0.20 for t in texts)
+    assert r.flagged_repetitive == exp_flag
+
+
+def test_pii_redaction_counts_and_placeholders(spark, tmp_path):
+    # doc_id 0 divides 5, 7 and 11: all three injections fire.
+    d = _write_documents(tmp_path, ["hello world"] * 12)
+    r = ops.QUERIES["pii_redact_stats"](spark, d).collect()[0]
+    ids = range(12)
+    exp_emails = sum(1 for i in ids if i % 5 == 0)
+    exp_phones = sum(1 for i in ids if i % 7 == 0)
+    exp_ips = sum(1 for i in ids if i % 11 == 0)
+    assert (r.emails, r.phones, r.ips) == (exp_emails, exp_phones, exp_ips)
+    # redaction shrinks the corpus (every injected PII string is
+    # longer than its placeholder)
+    assert r.chars_after < r.chars_before
+
+
+def test_pii_patterns_python_crosscheck():
+    """The three regexes, run by Python's engine, hit the injected
+    forms exactly once each and nothing inside the word-soup base."""
+    t = (
+        "plain words only contact eng35@crawl-example.org"
+        " call +1-555-0042 from 10.35.0.35"
+    )
+    assert len(re.findall(EMAIL_RE, t)) == 1
+    assert len(re.findall(PHONE_RE, t)) == 1
+    assert len(re.findall(IP_RE, t)) == 1
+    red = re.sub(
+        IP_RE, "<IP>", re.sub(PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", t))
+    )
+    assert red == "plain words only contact <EMAIL> call <PHONE> from <IP>"

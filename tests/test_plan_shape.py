@@ -407,3 +407,37 @@ def test_topk_per_group_is_two_phase_aggregate(spark, sf_dir, ops):
     plan = plan_of(df)
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+
+
+def test_segment_dedup_counts_digests_and_broadcasts_dups(spark, sf_dir, ops):
+    """C4-style span dedup must (a) count spans by shuffling md5
+    digests + (doc_id, pos) ints only — never segment text — and
+    (b) broadcast the (small) duplicate-span table back, so document
+    text crosses exactly one Exchange (the per-doc regroup)."""
+    import re as _re
+
+    df = ops.QUERIES["segment_dedup"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, "dup side regressed to a shuffle join"
+    # the partial aggregate feeding the digest-count Exchange must not
+    # carry the segment string
+    m = _re.search(
+        r"Exchange hashpartitioning\(h#\d+[^\n]*\n\s*\+- \w*Aggregate"
+        r"\(key[^\n]*output=\[([^\]]*)\]",
+        plan,
+    )
+    assert m, "digest-count Exchange not found:\n" + plan
+    assert "seg" not in m.group(1), m.group(1)
+
+
+def test_pii_and_repetition_are_single_rollup(spark, sf_dir, ops):
+    """Both map-side cleanup queries must have exactly one
+    ENSURE_REQUIREMENTS Exchange (the per-source rollup) and no join,
+    no window, no explode."""
+    for name in ("pii_redact_stats", "repetition_signals"):
+        df = ops.QUERIES[name](spark, sf_dir)
+        plan = plan_of(df)
+        assert plan.count("ENSURE_REQUIREMENTS") == 1, name
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert "Generate" not in plan, name
