@@ -1,15 +1,15 @@
 """The extraction pipeline exposed as driver-checkable queries.
 
-Byte-level extraction output is not SQL-expressible (the kernel is a
-DOM parser), so extract_text_hashes registers WITHOUT oracle SQL — the
-driver records the weaker rows-only check; byte-exactness is covered
-by the pinned golden fixtures in tests/test_golden.py (FIXTURES.md §2).
-extract_pages_stats, by contrast, IS oracle-able: content_type and
-parse outcome are pure modular arithmetic on doc_id (the page
-synthesizer routes templates by doc_id % 20, sources/pages.py: t in
-{18,19} -> pdf, t == 9 -> empty payload since 20k+9 is always odd;
-every other template parses ok), so the count-level mix is mirrored
-in SQL.
+The kernel is a DOM/PDF parser, but over the SYNTHESIZED corpus every
+one of its 20 input routes reduces to relational string assembly on
+documents.text, so the byte surface is value-oracle-able after all:
+extract_text_hashes_full reconstructs the md5 of every page's
+extracted bytes in pure SQL (all routes), with the narrower plain/
+structured/stats twins as driver-history rows. Only
+extract_text_hashes stays rows-only — its n_chunks/url columns cover
+the chunker, which is deliberately not SQL-replicated; byte-exactness
+against arbitrary (non-synthesized) inputs is covered by the pinned
+golden fixtures in tests/test_golden.py (FIXTURES.md §2).
 """
 
 from __future__ import annotations
@@ -185,6 +185,116 @@ def extract_text_hashes_structured(spark, sf_dir):
         .select(
             "doc_id",
             F.md5(F.coalesce("extracted_text", F.lit(""))).alias("text_md5"),
+        )
+    )
+
+
+@register(
+    "extract_text_hashes_full",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, text, str_split(text, ' ') AS words,
+             len(str_split(text, ' ')) AS n,
+             greatest(8, len(str_split(text, ' ')) // 6) AS per
+      FROM documents
+    ), paras AS (
+      SELECT doc_id, doc_id % 20 AS t,
+        CASE WHEN length(trim(text)) = 0 THEN ['empty document body'] ELSE
+          list_transform(
+            range(least(6, cast(ceil(n * 1.0 / per) AS INT))),
+            i -> array_to_string(words[i * per + 1 : (i + 1) * per], ' ')
+          ) END AS ps
+      FROM p
+    ), j AS (
+      SELECT doc_id, t, ps, array_to_string(ps, chr(10)) AS body FROM paras
+    ), built AS (
+      SELECT doc_id, t,
+        CASE t
+          WHEN 0 THEN 'Document ' || doc_id || chr(10) || body
+          WHEN 1 THEN 'Main ' || doc_id || chr(10) || body
+          WHEN 2 THEN body || chr(10) || 'name' || chr(9) || 'chars'
+                      || array_to_string(list_transform(range(4),
+                           i -> chr(10) || 'row ' || i || chr(9)
+                                || length(ps[(i % len(ps)) + 1])), '')
+          WHEN 3 THEN body
+          WHEN 4 THEN 'Fish & chips ☃ snowman' || chr(10) || body
+          WHEN 5 THEN ps[1] || chr(10) || chr(10) || 'more text'
+                      || chr(10) || body
+          WHEN 6 THEN '中文内容 文档 ' || doc_id || chr(10) || body
+          WHEN 7 THEN 'café résumé naïve ' || doc_id || chr(10) || body
+          WHEN 8 THEN 'open para' || chr(10) || body || chr(10)
+                      || 'another' || chr(10) || body
+          WHEN 9 THEN ''
+          WHEN 10 THEN array_to_string(
+                         flatten(list_transform(range(40), i -> ps)), ' ')
+          WHEN 11 THEN 'Book ' || doc_id || chr(10) || array_to_string(
+                         list_transform(range(len(ps)),
+                           i -> 'Chapter ' || (i + 1) || chr(10) || ps[i + 1]),
+                         chr(10))
+          WHEN 12 THEN 'Paper ' || doc_id || chr(10) || 'Abstract' || chr(10)
+                       || ps[1] || chr(10)
+                       || CASE WHEN len(ps) > 2 THEN array_to_string(
+                            list_transform(range(len(ps) - 2),
+                              i -> (i + 1) || '. Section' || chr(10)
+                                   || ps[i + 2]), chr(10)) || chr(10)
+                          ELSE '' END
+                       || 'References' || chr(10) || '[1] '
+                       || rtrim(substr(ps[len(ps)], 1, 80))
+          WHEN 13 THEN 'déjà vu résumé' || chr(10) || body
+          WHEN 18 THEN 'Example Journal' || chr(10) || body
+                       || chr(10) || 'page 1'
+          WHEN 19 THEN body
+          ELSE body
+        END AS txt
+      FROM j
+    )
+    SELECT doc_id, md5(txt) AS text_md5,
+           CASE WHEN t = 9 THEN {CODE_EMPTY_PAYLOAD} ELSE {CODE_OK} END
+             AS parse_code
+    FROM built
+    """,
+)
+def extract_text_hashes_full(spark, sf_dir):
+    """FULL value oracle for the extraction byte surface: every one of
+    the synthesizer's 20 routes (sources/pages.py:81-152) reduces to
+    relational string assembly over documents.text, so the md5 of each
+    page's extracted bytes — HTML and PDF alike — is reconstructed in
+    pure SQL and compared against the REAL pipeline (synthesize ->
+    sniff -> DOM/PDF parse -> boilerplate strip -> normalize). What
+    this pins per route: t=0 boilerplate battery stripped (header/
+    cookie-banner/sidebar/footer vanish, h1+paragraphs survive); t=1
+    link-farm dropped by link density; t=2 data table kept as
+    tab-joined rows (cell values = computed paragraph lengths) while
+    the layout table is dropped; t=3 inline script/style noise
+    stripped; t=4 entities decoded (&amp;/&#x2603;/&nbsp;-&gt;space);
+    t=5 tab/CRLF whitespace renormalized (the messy <p> splits at the
+    blank line into para + 'more text' sections); t=6 GBK transcode
+    (corpus text is ASCII so the round trip is lossless — asserted in
+    the parity run by the oracle matching); t=7 the charset-lie
+    fallback (utf-8 declared, latin-1 bytes); t=8 malformed-tag
+    recovery (unclosed <p>s: body twice around 'another'); t=9 empty
+    payload -> error row with md5('') and CODE_EMPTY_PAYLOAD; t=10
+    huge single text node; t=11/12 heading/paper structure; t=13
+    NFD->NFC normalization (oracle embeds the composed form); t=14-17
+    plain articles; t=18 single-column PDF with header/footer lines;
+    t=19 two-column PDF reassembled in reading order. The narrower
+    plain/structured twins (above) stay as the driver-history rows;
+    `extract_text_hashes` below stays rows-only as the byte-STABILITY
+    probe (its n_chunks/url columns cover the chunker, which is
+    deliberately not SQL-replicated). Empty-text branches are pinned
+    at the kernel level in tests/test_kernels_html.py."""
+    pages = synthesize_pages(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    staged = assign_splits(pages, n_splits=32, salt_factor=8, hot_hosts=None)
+    ex = extract_pages(staged)
+    doc_id = F.regexp_extract("url", r"doc-(\d+)$", 1).cast("bigint")
+    return (
+        ex.withColumn("doc_id", doc_id)
+        .select(
+            "doc_id",
+            F.md5(F.coalesce("extracted_text", F.lit(""))).alias("text_md5"),
+            "parse_code",
         )
     )
 

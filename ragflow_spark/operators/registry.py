@@ -41,6 +41,7 @@ PRIORITY_HEAD = [
     "repetition_signals",
     "segment_dedup",
     "pii_redact_stats",
+    "extract_text_hashes_full",
 ]
 
 # Trivial relational queries, driver-green in both r2 and r3 and

@@ -188,3 +188,32 @@ def test_normalize_exotic_whitespace_class_pinned():
         "w1 w2 w3 w4 w5 w6",
         "x1 x2 x3 x4 x5 x6",
     ]
+
+
+def test_oracled_routes_empty_text_branch():
+    """Pins the empty-text branch of every value-oracled route
+    (extract_text_hashes_boiler / _plain / _structured, ADVICE r3):
+    the synthesizer's _paragraphs('') fallback is
+    ['empty document body'], so each template renders that single
+    paragraph and the kernel must return exactly the title prefix (if
+    the template has one) + the fallback line. This is the behavior
+    the oracles' `WHEN length(trim(text)) = 0` branch reconstructs —
+    never reached on the synthesized corpora (non-empty contract),
+    exercised here directly."""
+    from ragflow_spark.sources.pages import render_page_html
+
+    expected = {
+        0: "Document 0\nempty document body",
+        1: "Main 1\nempty document body",
+        3: "empty document body",
+        4: "Fish & chips ☃ snowman\nempty document body",
+        10: " ".join(["empty document body"] * 40),
+        13: "déjà vu résumé\nempty document body",
+        11: "Book 11\nChapter 1\nempty document body",
+        14: "empty document body",
+    }
+    for t, want in expected.items():
+        secs, code, _ct = html_extract(render_page_html(t, "", "en"))
+        assert code == 0, t
+        got = "\n".join(s for _k, s in secs)
+        assert got == want, (t, got)
