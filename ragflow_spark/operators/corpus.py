@@ -17,6 +17,18 @@ dedup hashing in the RAGFlow ingest path):
 * ``pii_redact_stats`` — regex PII redaction (emails / phone numbers /
   IPv4 addresses -> typed placeholders) with per-source match counts
   and an order-insensitive corpus signature of the redacted text.
+* ``dedup_incremental`` — the production crawl-dedup shape: a NEW
+  batch of documents arrives against an already-committed corpus; only
+  new-vs-committed and new-vs-new comparisons happen (never committed
+  vs committed again), and only 16-byte digests cross the wire.
+* ``stratified_sample`` — deterministic hash-threshold sampling with a
+  per-stratum rate (the training-mix rebalance: downsample the
+  dominant language), reproducible across engines and runs because
+  the keep decision is a pure function of doc_id, never an RNG.
+* ``host_profile`` — per-host crawl rollup over the synthesized pages
+  (page counts, corpus share, crawl-time span): the driver-checkable
+  twin of the hot-host pre-pass that feeds salting
+  (plans/pipeline.py compute_hot_hosts).
 
 Scale notes (100 TB):
 
@@ -398,4 +410,201 @@ def pii_redact_stats(spark, sf_dir):
             F.sum(F.length("r")).alias("chars_after"),
             F.expr("bit_xor(sig)").alias("corpus_sig"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental
+# --------------------------------------------------------------------------
+
+# Deterministic stand-in for the snapshot boundary: in production the
+# committed corpus is "every snapshot before this run" (plans/
+# checkpoint.py snapshot chain) and the new batch is the arriving crawl
+# segment; here doc_id % 10 partitions the same table reproducibly.
+_COMMITTED_MOD = 7  # doc_id % 10 < 7 -> committed (~70%), else new
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH committed AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id % 10 < {_COMMITTED_MOD}
+    ), new_docs AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE doc_id % 10 >= {_COMMITTED_MOD}
+    ), flagged AS (
+      SELECT n.doc_id, n.source, n.h,
+             (c.h IS NOT NULL) AS dup_vs_committed
+      FROM new_docs n LEFT JOIN committed c ON n.h = c.h
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_new,
+           sum(CASE WHEN dup_vs_committed THEN 1 ELSE 0 END)::BIGINT
+             AS dup_vs_committed,
+           count(DISTINCT CASE WHEN NOT dup_vs_committed THEN h END)::BIGINT
+             AS net_new_unique,
+           (sum(CASE WHEN NOT dup_vs_committed THEN 1 ELSE 0 END)
+            - count(DISTINCT CASE WHEN NOT dup_vs_committed THEN h END)
+           )::BIGINT AS dup_within_new
+    FROM flagged GROUP BY source
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: a new crawl batch against the committed
+    corpus. Per source of the NEW batch: arriving docs, docs whose
+    content digest already exists in the committed corpus, net-new
+    unique digests, and duplicates *within* the new batch itself.
+
+    Scale shape (10^12 committed + 10^9/day arriving): the committed
+    side is reduced to DISTINCT 16-byte digests before the join, so
+    neither side ever ships text; the join shuffles on the digest. In
+    production the committed digest table is written BUCKETED BY
+    digest (bucketed parquet / Iceberg bucket transform), which makes
+    this join shuffle-free on the committed side forever after — only
+    the (much smaller) daily batch repartitions, and committed-vs-
+    committed pairs are never re-compared. AQE handles the residual
+    skew (a viral page duplicated millions of times lands in one
+    digest bucket).
+    """
+    # digest computed at the scan, text dropped immediately: even the
+    # test-only spread() repartition then moves 16-byte digests, never
+    # the payload (plan-shape-tested)
+    d = spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.md5("text").alias("h")
+        )
+    )
+    committed = (
+        d.filter(F.col("doc_id") % 10 < _COMMITTED_MOD)
+        .select("h")
+        .distinct()
+        .withColumn("in_committed", F.lit(True))
+    )
+    new_docs = d.filter(F.col("doc_id") % 10 >= _COMMITTED_MOD).select(
+        "doc_id", "source", "h"
+    )
+    flagged = new_docs.join(committed, "h", "left").withColumn(
+        "dup_vs_committed", F.coalesce("in_committed", F.lit(False))
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("dup_vs_committed").cast("long")).alias("dup_vs_committed"),
+        F.countDistinct(
+            F.when(~F.col("dup_vs_committed"), F.col("h"))
+        ).alias("net_new_unique"),
+        (
+            F.sum((~F.col("dup_vs_committed")).cast("long"))
+            - F.countDistinct(F.when(~F.col("dup_vs_committed"), F.col("h")))
+        ).alias("dup_within_new"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stratified_sample
+# --------------------------------------------------------------------------
+
+# Per-language keep thresholds on the first 2 hex chars of
+# md5('sample:' || doc_id): '40'/256 = 25% for the dominant language,
+# '80'/256 = 50% for the rest (the training-mix rebalance). Hex-string
+# comparison on fixed-width lowercase hex == numeric comparison, and
+# both engines produce identical md5 hex, so the keep set is
+# bit-reproducible — resampling a 100 TB corpus yields the same docs
+# on any engine, any partitioning, any day.
+SAMPLE_THRESHOLDS = {"en": "40"}
+SAMPLE_DEFAULT_THRESHOLD = "80"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('sample:' || doc_id), 1, 2)
+          < CASE lang WHEN 'en' THEN '{SAMPLE_THRESHOLDS["en"]}'
+                      ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep a doc when a 1-byte md5
+    prefix of its id falls under its stratum's threshold (25% for
+    'en', 50% otherwise). Pure map-side filter — no shuffle at all, no
+    RNG (Spark's `sample()` is seed-stable only per partitioning,
+    which a 100 TB table does not keep across compactions; a
+    content-keyed hash threshold is stable under any layout). The
+    sampled doc ids themselves are the query output, so the driver
+    compares the exact keep set, not just its size.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    threshold = F.when(
+        F.col("lang") == "en", F.lit(SAMPLE_THRESHOLDS["en"])
+    ).otherwise(F.lit(SAMPLE_DEFAULT_THRESHOLD))
+    keep = (
+        F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 2)
+        < threshold
+    )
+    return d.filter(keep).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# host_profile
+# --------------------------------------------------------------------------
+
+@register(
+    "host_profile",
+    oracle="""
+    WITH pages AS (
+      SELECT CASE WHEN doc_id % 10 < 3 THEN 'big.example.com'
+                  ELSE 'site' || lpad((doc_id % 50)::VARCHAR, 2, '0')
+                       || '.example.org' END AS host,
+             TIMESTAMP '2026-01-01 00:00:00'
+               + to_seconds(doc_id * 137) AS warc_ts
+      FROM documents
+    )
+    SELECT host,
+           count(*)::BIGINT AS n_pages,
+           round(count(*) * 1.0 / (SELECT count(*) FROM pages), 4)
+             AS corpus_share,
+           strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S') AS first_crawl,
+           strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS last_crawl
+    FROM pages GROUP BY host
+    """,
+)
+def host_profile(spark, sf_dir):
+    """Per-host crawl rollup over the synthesized pages: page count,
+    corpus share, crawl-time span. This is the driver-checkable twin
+    of the hot-host pre-pass (plans/pipeline.py compute_hot_hosts):
+    the skewed host's row carries ~30% corpus_share, exactly the
+    signal that triggers size-proportional salting. The oracle
+    reconstructs hosts/timestamps arithmetically from the
+    synthesizer's doc_id routing (sources/pages.py host_for/url_for).
+
+    Scale shape: reads only (url, warc_ts) — column pruning keeps the
+    html payload out of the scan at crawl scale — and shuffles one
+    small rollup row per host. The total-count denominator reuses the
+    same aggregate via a 1-row cross join (broadcast), not a second
+    pass collected to the driver.
+    """
+    from ragflow_spark.plans.pipeline import host_of
+    from ragflow_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    ).select("url", "warc_ts")
+    per_host = pages.select(host_of(F.col("url")).alias("host"), "warc_ts").groupBy(
+        "host"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.date_format(F.min("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("first_crawl"),
+        F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_crawl"),
+    )
+    total = per_host.agg(F.sum("n_pages").alias("total"))
+    return per_host.crossJoin(F.broadcast(total)).select(
+        "host",
+        "n_pages",
+        F.round(F.col("n_pages") * F.lit(1.0) / F.col("total"), 4).alias(
+            "corpus_share"
+        ),
+        "first_crawl",
+        "last_crawl",
     )

@@ -42,6 +42,11 @@ PRIORITY_HEAD = [
     "segment_dedup",
     "pii_redact_stats",
     "extract_text_hashes_full",
+    # round-4 second half
+    "dedup_incremental",
+    "stratified_sample",
+    "host_profile",
+    "chunk_spans_full",
 ]
 
 # Trivial relational queries, driver-green in both r2 and r3 and

@@ -441,3 +441,74 @@ def test_pii_and_repetition_are_single_rollup(spark, sf_dir, ops):
         assert "Join" not in plan, name
         assert "Window" not in plan, name
         assert "Generate" not in plan, name
+
+
+def _attrs_crossing_exchanges(df, include_broadcast: bool = False):
+    """Names of every attribute that crosses a (non-broadcast)
+    Exchange in the executed plan. Descends into AdaptiveSparkPlan
+    (AQE wraps aggregate/join plans; its children() is empty, the real
+    tree hangs off initialPlan)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    names = []
+
+    def walk(node):
+        name = node.nodeName()
+        if "Exchange" in name and (
+            include_broadcast or "Broadcast" not in name
+        ):
+            out = node.output()
+            for i in range(out.length()):
+                names.append(out.apply(i).name())
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan())
+            return
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return names
+
+
+def test_dedup_incremental_shuffles_digests_only(spark, sf_dir, ops):
+    """Incremental dedup must never ship document text: every shuffle
+    carries digests / ids / small aggregates only. At 10^12 committed
+    docs the text column is the 100 TB payload; the digest column is
+    16 bytes a row."""
+    df = ops.QUERIES["dedup_incremental"](spark, sf_dir)
+    crossing = _attrs_crossing_exchanges(df, include_broadcast=True)
+    assert crossing, "expected at least the digest join + rollup shuffles"
+    assert "text" not in crossing, crossing
+
+
+def test_stratified_sample_is_map_only(spark, sf_dir, ops):
+    """The hash-threshold keep filter is a pure map: no Exchange at
+    all (registry.spread may add one on tiny single-file test scans,
+    so assert on the unspread core plan), and the md5 threshold
+    comparison stays in whole-stage codegen."""
+    from ragflow_spark.operators.registry import table
+
+    d = table(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("80"))
+    keep = (
+        F.substring(
+            F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 2
+        )
+        < threshold
+    )
+    core = d.filter(keep).select("doc_id", "lang", "source")
+    plan = plan_of(core)
+    assert "Exchange" not in plan
+    # "*(1)" marks the whole-stage-codegen span in executedPlan output
+    assert "*(1)" in plan
+
+
+def test_host_profile_prunes_html(spark, sf_dir, ops):
+    """The per-host rollup reads only (url, warc_ts): the html payload
+    must not cross the rollup Exchange (at crawl scale it is the
+    entire corpus), and the total-count denominator must come back as
+    a broadcast, not a driver collect."""
+    df = ops.QUERIES["host_profile"](spark, sf_dir)
+    crossing = _attrs_crossing_exchanges(df, include_broadcast=True)
+    assert "html" not in crossing, crossing
+    assert "BroadcastExchange" in plan_of(df)
