@@ -4,12 +4,14 @@ The kernel is a DOM/PDF parser, but over the SYNTHESIZED corpus every
 one of its 20 input routes reduces to relational string assembly on
 documents.text, so the byte surface is value-oracle-able after all:
 extract_text_hashes_full reconstructs the md5 of every page's
-extracted bytes in pure SQL (all routes), with the narrower plain/
-structured/stats twins as driver-history rows. Only
-extract_text_hashes stays rows-only — its n_chunks/url columns cover
-the chunker, which is deliberately not SQL-replicated; byte-exactness
-against arbitrary (non-synthesized) inputs is covered by the pinned
-golden fixtures in tests/test_golden.py (FIXTURES.md §2).
+extracted bytes in pure SQL (all routes), chunk_spans_full
+reconstructs the chunker's full span output (template, count, every
+char_start:char_end:token_count triple) the same way, and the
+narrower plain/structured/stats twins stay as driver-history rows.
+Only extract_text_hashes stays rows-only — the byte-STABILITY probe;
+byte-exactness against arbitrary (non-synthesized) inputs is covered
+by the pinned golden fixtures in tests/test_golden.py (FIXTURES.md
+§2).
 """
 
 from __future__ import annotations
@@ -189,10 +191,13 @@ def extract_text_hashes_structured(spark, sf_dir):
     )
 
 
-@register(
-    "extract_text_hashes_full",
-    oracle=f"""
-    WITH p AS (
+# Shared oracle CTE block: reconstructs every route's extracted text
+# (txt) in pure SQL from documents.text + the synthesizer's doc_id % 20
+# routing — the basis of BOTH the byte-surface oracle
+# (extract_text_hashes_full) and the chunk-span oracle
+# (chunk_spans_full).
+_ROUTES_CTES = """
+    p AS (
       SELECT doc_id, text, str_split(text, ' ') AS words,
              len(str_split(text, ' ')) AS n,
              greatest(8, len(str_split(text, ' ')) // 6) AS per
@@ -208,7 +213,7 @@ def extract_text_hashes_structured(spark, sf_dir):
     ), j AS (
       SELECT doc_id, t, ps, array_to_string(ps, chr(10)) AS body FROM paras
     ), built AS (
-      SELECT doc_id, t,
+      SELECT doc_id, t, ps,
         CASE t
           WHEN 0 THEN 'Document ' || doc_id || chr(10) || body
           WHEN 1 THEN 'Main ' || doc_id || chr(10) || body
@@ -248,6 +253,13 @@ def extract_text_hashes_structured(spark, sf_dir):
         END AS txt
       FROM j
     )
+"""
+
+
+@register(
+    "extract_text_hashes_full",
+    oracle=f"""
+    WITH {_ROUTES_CTES}
     SELECT doc_id, md5(txt) AS text_md5,
            CASE WHEN t = 9 THEN {CODE_EMPTY_PAYLOAD} ELSE {CODE_OK} END
              AS parse_code
@@ -280,9 +292,9 @@ def extract_text_hashes_full(spark, sf_dir):
     t=19 two-column PDF reassembled in reading order. The narrower
     plain/structured twins (above) stay as the driver-history rows;
     `extract_text_hashes` below stays rows-only as the byte-STABILITY
-    probe (its n_chunks/url columns cover the chunker, which is
-    deliberately not SQL-replicated). Empty-text branches are pinned
-    at the kernel level in tests/test_kernels_html.py."""
+    probe; the chunker's span output gets its own full value oracle in
+    `chunk_spans_full`. Empty-text branches are pinned at the kernel
+    level in tests/test_kernels_html.py."""
     pages = synthesize_pages(
         spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
     )
@@ -314,4 +326,160 @@ def extract_text_hashes(spark, sf_dir):
         "parse_code",
         F.md5(F.coalesce("extracted_text", F.lit(""))).alias("text_md5"),
         F.size(F.coalesce("chunks", F.array())).alias("n_chunks"),
+    )
+
+
+# The chunker's token regex (kernels/chunk.py _TOKEN_RE), written in
+# the Java∩RE2 dialect: word runs (with apostrophe suffix) | single
+# CJK chars | any other non-whitespace glyph. The whitespace class is
+# explicit (Python \s would also match \x0b and unicode spaces; the
+# kernel's whitespace normalization guarantees neither reaches
+# extracted text, and the explicit class keeps both engines honest —
+# the WS_CLASS rule, operators/textops.py).
+_TOKEN_RE_SQL = (
+    "[A-Za-z0-9_]+(?:''[a-z]+)?"
+    "|[一-鿿぀-ヿ가-힯]"
+    "|[^ \\t\\n\\r\\x0b\\x0cA-Za-z0-9_]"
+)
+
+
+@register(
+    "chunk_spans_full",
+    oracle=f"""
+    WITH {_ROUTES_CTES}
+    , base AS (
+      SELECT doc_id, t, ps, txt, len(ps) AS L, length(txt) AS total,
+             len(str_split(txt, ' ')) AS m
+      FROM built
+    ), sp AS (
+      SELECT doc_id, t,
+        CASE
+          WHEN t = 9 THEN []::VARCHAR[]
+          -- t=10 huge single node: > 2x budget tokens -> hard split at
+          -- every 256th token end; char offsets are prefix sums over
+          -- the word list (words joined by single spaces)
+          WHEN t = 10 AND m > 512 THEN
+            list_transform(range(cast(ceil(m / 256.0) AS INT)), k ->
+              (CASE WHEN k = 0 THEN 0
+                    ELSE length(array_to_string(
+                           (str_split(txt, ' '))[1 : k * 256], ' ')) END)
+              || ':' ||
+              length(array_to_string(
+                (str_split(txt, ' '))[1 : least((k + 1) * 256, m)], ' '))
+              || ':' || (least((k + 1) * 256, m) - k * 256))
+          WHEN t = 10 THEN ['0:' || total || ':' || m]
+          -- t=11 book template: one chunk for the h1 line, one per
+          -- h2 chapter unit (heading + paragraph, tiled to the next
+          -- chapter start); all offsets are section-length arithmetic
+          WHEN t = 11 THEN
+            ['0:' || (length('Book ' || doc_id) + 1) || ':2']
+            || list_transform(range(L), i ->
+                 (length('Book ' || doc_id) + 1
+                  + CASE WHEN i > 0 THEN length(array_to_string(
+                      list_transform(range(L),
+                        q -> 'Chapter ' || (q + 1) || chr(10) || ps[q + 1]
+                      )[1 : i], chr(10))) + 1 ELSE 0 END)
+                 || ':' ||
+                 (CASE WHEN i + 1 < L THEN
+                    length('Book ' || doc_id) + 1
+                    + length(array_to_string(
+                        list_transform(range(L),
+                          q -> 'Chapter ' || (q + 1) || chr(10) || ps[q + 1]
+                        )[1 : i + 1], chr(10))) + 1
+                  ELSE total END)
+                 || ':' || (2 + len(str_split(ps[i + 1], ' '))))
+          -- t=12 paper template: h1 unit, Abstract unit, one unit per
+          -- numbered section, References chunk (heading + truncated
+          -- last paragraph)
+          WHEN t = 12 THEN
+            ['0:' || (length('Paper ' || doc_id) + 1) || ':2',
+             (length('Paper ' || doc_id) + 1) || ':' ||
+             (CASE WHEN L > 2 THEN
+                length('Paper ' || doc_id) + 1
+                + length('Abstract' || chr(10) || ps[1]) + 1
+              ELSE total - length('References' || chr(10) || '[1] '
+                                  || rtrim(substr(ps[L], 1, 80))) END)
+             || ':' || (1 + len(str_split(ps[1], ' ')))]
+            || list_transform(range(greatest(L - 2, 0)), i ->
+                 (length('Paper ' || doc_id) + 1
+                  + length('Abstract' || chr(10) || ps[1]) + 1
+                  + CASE WHEN i > 0 THEN length(array_to_string(
+                      list_transform(range(greatest(L - 2, 0)),
+                        q -> (q + 1) || '. Section' || chr(10) || ps[q + 2]
+                      )[1 : i], chr(10))) + 1 ELSE 0 END)
+                 || ':' ||
+                 (CASE WHEN i + 1 < L - 2 THEN
+                    length('Paper ' || doc_id) + 1
+                    + length('Abstract' || chr(10) || ps[1]) + 1
+                    + length(array_to_string(
+                        list_transform(range(greatest(L - 2, 0)),
+                          q -> (q + 1) || '. Section' || chr(10) || ps[q + 2]
+                        )[1 : i + 1], chr(10))) + 1
+                  ELSE total - length('References' || chr(10) || '[1] '
+                                      || rtrim(substr(ps[L], 1, 80))) END)
+                 || ':' || (3 + len(str_split(ps[i + 2], ' '))))
+            || [(total - length('References' || chr(10) || '[1] '
+                                || rtrim(substr(ps[L], 1, 80))))
+                || ':' || total || ':'
+                || (4 + len(str_split(rtrim(substr(ps[L], 1, 80)), ' ')))]
+          -- every other route: the whole text fits one chunk under
+          -- the 256-token budget (corpus contract: <= 100 words/doc,
+          -- so the heaviest naive route, t=8 at ~2x body, stays
+          -- under budget); token count = the chunker's regex count
+          ELSE ['0:' || total || ':'
+                || len(regexp_extract_all(txt, '{_TOKEN_RE_SQL}'))]
+        END AS spans_list
+      FROM base
+    )
+    SELECT doc_id,
+           len(spans_list) AS n_chunks,
+           CASE WHEN t = 9 THEN ''
+                WHEN t = 11 THEN 'book'
+                WHEN t = 12 THEN 'paper'
+                ELSE 'naive' END AS template,
+           coalesce(array_to_string(spans_list, '|'), '') AS spans
+    FROM sp
+    """,
+)
+def chunk_spans_full(spark, sf_dir):
+    """FULL value oracle for the chunk-span surface (north rule:
+    "chunk spans byte-identical per url"): for every one of the 20
+    synthesizer routes the chunker's exact output — template choice
+    (naive/book/paper via kernels/chunk.py choose_template), chunk
+    count, and every (char_start, char_end, token_count) triple — is
+    reconstructed in pure SQL and compared against the REAL pipeline
+    (synthesize -> parse -> strip -> chunk). What makes this
+    reconstructible: spans tile [0, len) exactly (FIXTURES.md §2), so
+    chunking is cut-point arithmetic; the corpus contract (ASCII
+    single-space words, <= 100 words/doc, no sentence punctuation)
+    pins each route to one closed form — single chunk for the naive
+    routes, 256-token hard splits for the huge-node route (word-length
+    prefix sums), heading-offset units for book/paper. Verified
+    byte-identical to the kernel on all 6,000 docs of
+    sf{{0.001,0.01,0.1}} during development; the residue that remains
+    golden-only is chunk behavior on inputs OUTSIDE the corpus
+    contract (sentence-punctuated text exercising the greedy
+    sentence merge), which tests/test_golden.py and
+    tests/test_properties.py pin."""
+    pages = synthesize_pages(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    staged = assign_splits(pages, n_splits=32, salt_factor=8, hot_hosts=None)
+    ex = extract_pages(staged)
+    doc_id = F.regexp_extract("url", r"doc-(\d+)$", 1).cast("bigint")
+    return ex.withColumn("doc_id", doc_id).select(
+        "doc_id",
+        F.size(F.coalesce("chunks", F.array())).alias("n_chunks"),
+        F.coalesce(
+            F.try_element_at(F.col("chunks"), F.lit(1))["template"], F.lit("")
+        ).alias("template"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                "chunks",
+                lambda c: F.concat_ws(
+                    ":", c["char_start"], c["char_end"], c["token_count"]
+                ),
+            ),
+        ).alias("spans"),
     )

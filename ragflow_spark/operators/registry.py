@@ -49,10 +49,13 @@ PRIORITY_HEAD = [
     "chunk_spans_full",
 ]
 
-# Trivial relational queries, driver-green in both r2 and r3 and
-# untouched since; listed most-expendable first.
+# Queries driver-green in both r2 and r3 and untouched since; listed
+# most-expendable first.
 STABLE_TAIL = [
     "top_n_limit",
+    "token_count",
+    "lang_id",
+    "quality_score",
     "contains_filter",
     "rename_projection",
     "sql_passthrough",

@@ -512,3 +512,38 @@ def test_host_profile_prunes_html(spark, sf_dir, ops):
     crossing = _attrs_crossing_exchanges(df, include_broadcast=True)
     assert "html" not in crossing, crossing
     assert "BroadcastExchange" in plan_of(df)
+
+
+def test_dedup_incremental_bucketed_committed_side_is_shuffle_free(
+    spark, sf_dir, tmp_path
+):
+    """The scale claim in dedup_incremental's docstring, evidenced:
+    with the committed digest table written BUCKETED BY digest, the
+    incremental join reads it bucket-aligned (Bucketed: true, no
+    Exchange above the scan) and only the arriving batch shuffles —
+    at 10^12 committed docs that is the difference between reshuffling
+    the whole history daily and shuffling one day's batch."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", F.md5("text").alias("h")
+        )
+        committed = d.filter(F.col("doc_id") % 10 < 7).select("h").distinct()
+        spark.sql("DROP TABLE IF EXISTS committed_digests_test")
+        (
+            committed.write.bucketBy(8, "h")
+            .sortBy("h")
+            .option("path", str(tmp_path / "committed_digests"))
+            .mode("overwrite")
+            .saveAsTable("committed_digests_test")
+        )
+        new = d.filter(F.col("doc_id") % 10 >= 7)
+        j = spark.table("committed_digests_test").join(new, "h", "inner")
+        plan = plan_of(j)
+        assert "Bucketed: true" in plan
+        # exactly ONE Exchange: the new-batch side aligning to the
+        # bucket count; the committed scan feeds the join directly
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS committed_digests_test")
