@@ -608,3 +608,129 @@ def host_profile(spark, sf_dir):
         "first_crawl",
         "last_crawl",
     )
+
+
+# --------------------------------------------------------------------------
+# url_normalize_stats
+# --------------------------------------------------------------------------
+
+# Deterministic URL-mess enrichment (same pattern as the PII
+# enrichment): each doc contributes its clean URL plus one messy
+# variant — uppercased scheme/host, explicit default port, utm_*
+# tracking params, fragments — so the operator under test
+# (canonicalization) has real work to do. Both engines build the same
+# variants from doc_id arithmetic.
+_URL_HOST_SQL = """CASE WHEN doc_id % 10 < 3 THEN 'big.example.com'
+             ELSE 'site' || lpad((doc_id % 50)::VARCHAR, 2, '0')
+                  || '.example.org' END"""
+
+
+@register(
+    "url_normalize_stats",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_HOST_SQL} AS host,
+             'https://' || {_URL_HOST_SQL} || '/doc-' || doc_id AS clean,
+             CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END
+             || CASE WHEN doc_id % 4 = 0 THEN upper({_URL_HOST_SQL})
+                     ELSE {_URL_HOST_SQL} END
+             || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+             || '/doc-' || doc_id
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '?utm_source=feed&id=' || (doc_id % 9)
+                     WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 9)
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN '#sec-' || (doc_id % 7)
+                     ELSE '' END AS messy
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, host, unnest([clean, messy]) AS raw FROM u
+    ), norm AS (
+      SELECT doc_id, host, raw,
+        replace(
+          regexp_replace(
+            regexp_replace(
+              lower(regexp_extract(regexp_replace(raw, '#.*$', ''),
+                                   '^([^/]*//[^/]+)', 1))
+              || regexp_extract(regexp_replace(raw, '#.*$', ''),
+                                '^[^/]*//[^/]+(.*)$', 1),
+              'utm_[a-z_]+=[^&#]*&', ''),
+            '[?&]utm_[a-z_]+=[^&#]*$', ''),
+          ':443/', '/') AS canon
+      FROM ex
+    )
+    SELECT host,
+           count(*)::BIGINT AS n_url_rows,
+           count(DISTINCT raw)::BIGINT AS n_raw_distinct,
+           count(DISTINCT canon)::BIGINT AS n_canon_distinct,
+           sum(CASE WHEN raw LIKE '%utm\\_%' ESCAPE '\\' THEN 1 ELSE 0
+               END)::BIGINT AS n_tracking,
+           sum(CASE WHEN raw LIKE '%#%' THEN 1 ELSE 0 END)::BIGINT
+             AS n_fragment
+    FROM norm GROUP BY host
+    """,
+)
+def url_normalize_stats(spark, sf_dir):
+    """URL canonicalization — the crawl-frontier dedup primitive: the
+    same page arrives as scheme/host case variants, explicit default
+    ports, utm_* tracking params, and fragments; the frontier must
+    collapse them BEFORE the fetch (every variant fetched is a wasted
+    page at crawl scale). Canonical form: lowercase scheme+authority,
+    strip :443, drop fragments, remove utm_* params (real query
+    params like ?id= survive — they address different content). Per
+    host: raw-vs-canonical distinct counts (the collapse is the
+    value) and variant-class counts.
+
+    Plan shape: pure Column regexp program over an exploded 2-variant
+    array, one per-host rollup Exchange of six longs. The regex steps
+    avoid group references in replacements (Java says $1, RE2 says
+    \\1 — the one replacement that needs the authority reuses
+    regexp_extract + concat instead).
+    """
+    d = spread(table(spark, sf_dir, "documents").select("doc_id"))
+    doc_id = F.col("doc_id")
+    host = F.when(doc_id % 10 < 3, F.lit("big.example.com")).otherwise(
+        F.concat(
+            F.lit("site"),
+            F.lpad((doc_id % 50).cast("string"), 2, "0"),
+            F.lit(".example.org"),
+        )
+    )
+    clean = F.concat(F.lit("https://"), host, F.lit("/doc-"), doc_id.cast("string"))
+    messy = F.concat(
+        F.when(doc_id % 5 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(doc_id % 4 == 0, F.upper(host)).otherwise(host),
+        F.when(doc_id % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc-"),
+        doc_id.cast("string"),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (doc_id % 9).cast("string")),
+        )
+        .when(doc_id % 3 == 1, F.concat(F.lit("?id="), (doc_id % 9).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(
+            doc_id % 4 == 0, F.concat(F.lit("#sec-"), (doc_id % 7).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    ex = d.select(
+        "doc_id", host.alias("host"), F.explode(F.array(clean, messy)).alias("raw")
+    )
+    defrag = F.regexp_replace(F.col("raw"), r"#.*$", "")
+    authority = F.lower(F.regexp_extract(defrag, r"^([^/]*//[^/]+)", 1))
+    rest = F.regexp_extract(defrag, r"^[^/]*//[^/]+(.*)$", 1)
+    canon = F.expr(
+        "replace(regexp_replace(regexp_replace(_canon0, "
+        "'utm_[a-z_]+=[^&#]*&', ''), '[?&]utm_[a-z_]+=[^&#]*$', ''), "
+        "':443/', '/')"
+    )
+    normed = ex.withColumn("_canon0", F.concat(authority, rest)).withColumn(
+        "canon", canon
+    )
+    return normed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_url_rows"),
+        F.countDistinct("raw").alias("n_raw_distinct"),
+        F.countDistinct("canon").alias("n_canon_distinct"),
+        F.sum(F.col("raw").contains("utm_").cast("long")).alias("n_tracking"),
+        F.sum(F.col("raw").contains("#").cast("long")).alias("n_fragment"),
+    )

@@ -47,6 +47,7 @@ PRIORITY_HEAD = [
     "stratified_sample",
     "host_profile",
     "chunk_spans_full",
+    "url_normalize_stats",
 ]
 
 # Queries driver-green in both r2 and r3 and untouched since; listed

@@ -547,3 +547,14 @@ def test_dedup_incremental_bucketed_committed_side_is_shuffle_free(
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS committed_digests_test")
+
+
+def test_url_normalize_is_single_rollup(spark, sf_dir, ops):
+    """URL canonicalization is a pure Column regexp program over an
+    exploded 2-variant array: no join, no window; the only Exchange is
+    the per-host rollup of six longs."""
+    df = ops.QUERIES["url_normalize_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the explode of [clean, messy]
