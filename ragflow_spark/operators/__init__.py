@@ -16,5 +16,6 @@ from ragflow_spark.operators import (  # noqa: F401
     relational,
     similarity,
     textops,
+    trainprep,
 )
 from ragflow_spark.operators.registry import QUERIES, ORACLES  # noqa: F401

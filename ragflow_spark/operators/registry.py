@@ -48,6 +48,10 @@ PRIORITY_HEAD = [
     "host_profile",
     "chunk_spans_full",
     "url_normalize_stats",
+    # round-4 third wave: training-run preparation
+    "decontaminate_stats",
+    "pack_sequences",
+    "lm_quality_stats",
 ]
 
 # Queries driver-green in both r2 and r3 and untouched since; listed

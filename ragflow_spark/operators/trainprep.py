@@ -1,0 +1,374 @@
+"""Training-run preparation operators: the last mile between a cleaned
+corpus and a trainer's data loader.
+
+Three stages every large-scale LLM data pipeline runs after dedup/
+cleanup (none exist in the reference, whose ingest stops at chunking —
+agent/component has no corpus analytics at all):
+
+* ``decontaminate_stats`` — benchmark decontamination by word n-gram
+  overlap (GPT-3, Brown et al. 2020 §C; PaLM, Chowdhery et al. 2022
+  §4): flag any training document sharing an 8-gram with a held-out
+  eval set. The eval set is synthesized deterministically from the
+  corpus itself (first 8-gram of every ``doc_id % 41 == 0`` doc) and
+  contamination is *injected* into victim docs (``doc_id % 17 == 5``)
+  the same way the PII/URL operators enrich their inputs, so the
+  operator has real cross-document hits to find, not just the eval
+  docs matching themselves.
+* ``pack_sequences`` — concat-and-chunk sequence packing stats (the
+  GPT-2/3 data loader: concatenate documents in a fixed order, slice
+  into fixed-length training sequences): per source, how many
+  sequences a 128-token packing yields, how many documents straddle a
+  sequence boundary, and the padding overhead of the ragged tail.
+* ``lm_quality_stats`` — CCNet-style language-model quality filter
+  (Wenzek et al. 2020 §4.3): score each document by its unigram
+  cross-entropy under a corpus-derived top-V vocabulary LM and flag
+  high-perplexity (OOV-heavy) documents.
+
+Scale notes (100 TB):
+
+* ``decontaminate_stats`` checks membership with a BROADCAST left-semi
+  join of exploded doc 8-grams against the eval-gram table: the
+  exploded side never shuffles (map-side broadcast hash join), and
+  only the matched (doc_id, source) pairs — a tiny fraction of the
+  corpus by construction — reach the distinct/rollup Exchange. Real
+  eval suites are ~10^5..10^6 grams: comfortably broadcastable; at
+  the extreme end the same plan swaps the semi-join for a broadcast
+  Bloom filter with identical dataflow. Document text never crosses
+  the wire.
+* ``pack_sequences`` is the one operator here whose semantics *need*
+  a total order (cum-sum of token counts per source). The running sum
+  is a sort-based window — Spark range-partitions and spills, state
+  is O(1) per row, not the r3 percentile failure mode — but at 10^12
+  docs a production packer runs the same window per SHARD (pack
+  within partition, pad each shard's tail) to avoid the global sort;
+  the per-source form here is the driver-checkable semantic twin.
+* ``lm_quality_stats`` is two-pass: pass 1 reduces the corpus to V+1
+  doubles (top-V unigram probabilities + OOV floor) via a map-side-
+  combined word count — the ONE shuffle ships (word, partial-count)
+  pairs over a 10^5-ish vocabulary, then a bounded driver collect of
+  V rows (the IVF-centroid pattern, registry contract for constant
+  derivations). Pass 2 is pure map-side: per-doc cross-entropy via a
+  literal word->bits map, then a per-source rollup of three doubles.
+
+Oracle parity notes: the per-word bit costs are computed ONCE,
+driver-side, with C-libm ``math.log2`` and rounded to 6 decimals; the
+DuckDB oracle rounds its own ``log2`` the same way (both bind the
+platform libm, unlike ``F.log2``'s JVM StrictMath, which can differ in
+the last ulp). Per-doc scores round to 4 decimals on both engines per
+the registry contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators.registry import register, spread, table
+
+# decontamination: n-gram width (GPT-3 used 13-grams over BPE tokens;
+# the word-soup corpus has ~10-80 word docs, so 8 keeps every doc
+# checkable), eval-doc selector, victim selector.
+DECONTAM_NGRAM = 8
+EVAL_DOC_MOD = 41
+VICTIM_MOD, VICTIM_RESIDUE = 17, 5
+
+# packing: training sequence length in whitespace tokens.
+PACK_SEQ_LEN = 128
+
+# LM quality: vocabulary size of the unigram model and the
+# cross-entropy flag threshold (bits/token; measured corpus range is
+# ~6.8..13.2 with V=16, so 10.2 splits off the OOV-heavy tail).
+LM_VOCAB_TOP = 16
+LM_XENT_FLAG_BITS = 10.2
+
+
+# --------------------------------------------------------------------------
+# decontaminate_stats
+# --------------------------------------------------------------------------
+
+@register(
+    "decontaminate_stats",
+    oracle=f"""
+    WITH base0 AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ), bench AS (
+      SELECT array_to_string(ws[1:{DECONTAM_NGRAM}], ' ') AS g,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM base0
+      WHERE doc_id % {EVAL_DOC_MOD} = 0 AND len(ws) >= {DECONTAM_NGRAM}
+    ), nb AS (
+      SELECT count(*) AS n FROM bench
+    ), enriched AS (
+      SELECT b.doc_id, b.source,
+             CASE WHEN b.doc_id % {VICTIM_MOD} = {VICTIM_RESIDUE}
+                       AND bg.g IS NOT NULL
+                  THEN list_concat(b.ws, string_split(bg.g, ' '))
+                  ELSE b.ws END AS ws
+      FROM base0 b
+      CROSS JOIN nb
+      LEFT JOIN bench bg
+        ON bg.rn = (b.doc_id % greatest(nb.n, 1)) + 1
+    ), grams AS (
+      SELECT doc_id, source,
+             array_to_string(ws[i + 1:i + {DECONTAM_NGRAM}], ' ') AS g
+      FROM enriched, unnest(range(len(ws) - {DECONTAM_NGRAM - 1})) AS t(i)
+      WHERE len(ws) >= {DECONTAM_NGRAM}
+    ), cont AS (
+      SELECT DISTINCT gr.doc_id, gr.source
+      FROM grams gr JOIN bench b ON gr.g = b.g
+    ), tot AS (
+      SELECT source, count(*) AS n_docs FROM enriched GROUP BY source
+    ), cc AS (
+      SELECT source, count(*) AS n_cont FROM cont GROUP BY source
+    )
+    SELECT t.source,
+           t.n_docs::BIGINT AS n_docs,
+           coalesce(cc.n_cont, 0)::BIGINT AS n_contaminated,
+           round(coalesce(cc.n_cont, 0) * 1.0 / t.n_docs, 4)
+             AS contamination_rate
+    FROM tot t LEFT JOIN cc ON t.source = cc.source
+    """,
+)
+def decontaminate_stats(spark, sf_dir):
+    """Benchmark decontamination by 8-gram overlap (GPT-3 §C).
+
+    Eval set = first 8-gram of every ``doc_id % 41 == 0`` doc (built
+    from the ORIGINAL text); victims (``doc_id % 17 == 5``) get one
+    eval gram appended, round-robin by doc_id — both engines rebuild
+    the identical enrichment, so the operator is checked on real
+    cross-document contamination, not just eval self-matches.
+
+    The membership check is a broadcast left-semi join of exploded doc
+    8-grams against the eval grams: map-side only, no shuffle of the
+    exploded side; only matched (doc_id, source) ids reach the
+    distinct. The eval list also serves as the bounded driver-side
+    literal for the enrichment (eval suites are small by nature —
+    the IVF-centroid collect pattern).
+    """
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    words = F.split(F.col("text"), " ")
+
+    first_gram = F.array_join(F.slice(words, 1, DECONTAM_NGRAM), " ")
+    bench_rows = (
+        d.filter(
+            (F.col("doc_id") % EVAL_DOC_MOD == 0)
+            & (F.size(words) >= DECONTAM_NGRAM)
+        )
+        .select("doc_id", first_gram.alias("g"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    bench = [r["g"] for r in bench_rows]
+    n_bench = max(len(bench), 1)
+
+    is_victim = (F.col("doc_id") % VICTIM_MOD == VICTIM_RESIDUE) & F.lit(
+        bool(bench)
+    )
+    injected = F.element_at(
+        F.array(*[F.lit(g) for g in bench]) if bench else F.array(F.lit("")),
+        (F.col("doc_id") % n_bench + 1).cast("int"),
+    )
+    ws = F.when(
+        is_victim, F.concat(words, F.split(injected, " "))
+    ).otherwise(words)
+
+    nw = F.size(ws)
+    grams = F.when(
+        nw >= DECONTAM_NGRAM,
+        F.transform(
+            F.sequence(F.lit(0), nw - DECONTAM_NGRAM),
+            lambda i: F.array_join(F.slice(ws, i + 1, DECONTAM_NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    enriched = d.select("doc_id", "source", grams.alias("grams"))
+    bench_df = spark.createDataFrame([(g,) for g in bench] or [("",)], ["g"])
+    contaminated = (
+        enriched.select("doc_id", "source", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_df), "g", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    totals = enriched.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    cont = contaminated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_cont")
+    )
+    return (
+        totals.join(cont, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_cont", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_cont", F.lit(0)) * F.lit(1.0) / F.col("n_docs"), 4
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pack_sequences
+# --------------------------------------------------------------------------
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+      FROM documents
+    ), w AS (
+      SELECT source, doc_id, nt,
+             coalesce(sum(nt) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb
+      FROM toks
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(nt)::BIGINT AS total_tokens,
+           ((sum(nt) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN})::BIGINT
+             AS n_sequences,
+           sum(CASE WHEN (cb + nt - 1) // {PACK_SEQ_LEN}
+                         > cb // {PACK_SEQ_LEN}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_split_docs,
+           (((sum(nt) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN})
+              * {PACK_SEQ_LEN} - sum(nt))::BIGINT AS pad_tokens,
+           round((((sum(nt) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN})
+                    * {PACK_SEQ_LEN} - sum(nt)) * 1.0
+                 / (((sum(nt) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN})
+                    * {PACK_SEQ_LEN}), 4) AS pad_frac
+    FROM w GROUP BY source
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing stats at 128 tokens/sequence.
+
+    Documents concatenate per source in doc_id order; a doc whose
+    token span crosses a 128-boundary is counted as split. Output per
+    source: docs, tokens, sequences the packing yields, boundary-
+    crossing docs, and the ragged-tail padding overhead.
+
+    The running token sum is a sort-based window (O(1) state per row,
+    spills); at 10^12 docs a production packer applies the identical
+    window per shard instead of per source — same code, partition-
+    local order — padding each shard's tail. Per-source is the
+    driver-checkable semantic twin of that plan.
+    """
+    L = PACK_SEQ_LEN
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    toks = d.select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cb = F.coalesce(F.sum("nt").over(w), F.lit(0))
+    per_doc = toks.select(
+        "source",
+        "nt",
+        cb.alias("cb"),
+    )
+    total = F.sum("nt")
+    n_seq = F.floor((total + F.lit(L - 1)) / L)
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.alias("total_tokens"),
+        n_seq.alias("n_sequences"),
+        F.sum(
+            (
+                F.floor((F.col("cb") + F.col("nt") - 1) / L)
+                > F.floor(F.col("cb") / L)
+            ).cast("long")
+        ).alias("n_split_docs"),
+        (n_seq * L - total).alias("pad_tokens"),
+        F.round((n_seq * L - total) * F.lit(1.0) / (n_seq * L), 4).alias(
+            "pad_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# lm_quality_stats
+# --------------------------------------------------------------------------
+
+@register(
+    "lm_quality_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), cnt AS (
+      SELECT word, count(*) AS c FROM w GROUP BY word
+    ), tot AS (
+      SELECT sum(c)::DOUBLE AS t FROM cnt
+    ), vocab AS (
+      SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {LM_VOCAB_TOP}
+    ), scored AS (
+      SELECT w.doc_id, w.source,
+             round(-log2(coalesce(v.c / tot.t, 0.5 / tot.t)), 6) AS bits
+      FROM w CROSS JOIN tot LEFT JOIN vocab v ON w.word = v.word
+    ), per_doc AS (
+      SELECT doc_id, source, round(avg(bits), 4) AS xent
+      FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(avg(xent), 4) AS avg_xent,
+           sum(CASE WHEN xent > {LM_XENT_FLAG_BITS} THEN 1 ELSE 0 END)::BIGINT
+             AS flagged_low_quality
+    FROM per_doc GROUP BY source
+    """,
+)
+def lm_quality_stats(spark, sf_dir):
+    """CCNet-style unigram cross-entropy quality filter (Wenzek et al.
+    2020 §4.3). Pass 1 derives a top-16 unigram LM from the corpus
+    itself (map-side-combined word count, bounded driver collect of V
+    rows); pass 2 scores each doc row-locally against a literal
+    word->bits map (OOV words cost ``-log2(0.5/total)`` bits) and
+    rolls up per source with a flag for the OOV-heavy tail.
+
+    Bit costs are computed once driver-side with C-libm ``math.log2``
+    and rounded to 6 decimals so both engines bind the same libm (see
+    module docstring); per-doc scores round to 4 per the registry
+    contract.
+    """
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    words_col = F.split(F.col("text"), " ")
+
+    counts = (
+        d.select(F.explode(words_col).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("t")).collect()[0]["t"]
+    vocab = counts.orderBy(F.desc("c"), F.asc("word")).limit(LM_VOCAB_TOP).collect()
+    bits = {
+        r["word"]: round(-math.log2(r["c"] / float(total)), 6) for r in vocab
+    }
+    oov_bits = round(-math.log2(0.5 / float(total)), 6)
+
+    bits_map = F.create_map(
+        *[x for wrd, b in sorted(bits.items()) for x in (F.lit(wrd), F.lit(b))]
+    )
+    nw = F.size(words_col)
+    acc = F.aggregate(
+        words_col,
+        F.lit(0.0),
+        lambda s, wrd: s
+        + F.coalesce(F.element_at(bits_map, wrd), F.lit(oov_bits)),
+    )
+    xent = F.round(acc / nw, 4)
+    return (
+        d.select("source", xent.alias("xent"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("xent"), 4).alias("avg_xent"),
+            F.sum((F.col("xent") > LM_XENT_FLAG_BITS).cast("long")).alias(
+                "flagged_low_quality"
+            ),
+        )
+    )

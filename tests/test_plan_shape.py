@@ -558,3 +558,71 @@ def test_url_normalize_is_single_rollup(spark, sf_dir, ops):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "Generate" in plan  # the explode of [clean, messy]
+
+
+def _attrs_crossing_required_exchanges(df):
+    """Like _attrs_crossing_exchanges, but only for ENSURE_REQUIREMENTS
+    shuffles — the plan's intrinsic Exchanges. registry.spread()'s
+    REPARTITION_BY_NUM on tiny single-file test scans is excluded: it
+    is a no-op at crawl scale (the byte/file-count gates) so whatever
+    it carries locally never crosses a wire in production."""
+    plan = df._jdf.queryExecution().executedPlan()
+    names = []
+
+    def walk(node):
+        name = node.nodeName()
+        if "Exchange" in name and "ENSURE_REQUIREMENTS" in node.simpleString(10):
+            out = node.output()
+            for i in range(out.length()):
+                names.append(out.apply(i).name())
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan())
+            return
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return names
+
+
+def test_decontaminate_eval_side_is_broadcast(spark, sf_dir, ops):
+    """The eval-gram membership check must be a broadcast semi-join:
+    the exploded doc-gram side (corpus-sized) never shuffles — only
+    the matched (doc_id, source) ids reach the distinct Exchange. At
+    10^12 docs the gram strings are ~10x the corpus bytes; shipping
+    them would dwarf the job."""
+    df = ops.QUERIES["decontaminate_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert crossing, "expected the distinct/rollup shuffles"
+    assert "text" not in crossing, crossing
+    assert "g" not in crossing, crossing
+    assert "grams" not in crossing, crossing
+
+
+def test_pack_sequences_window_ships_token_counts_only(spark, sf_dir, ops):
+    """The packing cum-sum sorts (source, doc_id, nt) rows — three
+    scalars; the text column must be dropped before the window
+    Exchange (it is the whole corpus at scale)."""
+    df = ops.QUERIES["pack_sequences"](spark, sf_dir)
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert crossing, "expected the window + rollup shuffles"
+    assert "text" not in crossing, crossing
+
+
+def test_lm_quality_scoring_pass_is_map_side(spark, sf_dir, ops):
+    """Pass 2 of the LM filter scores each doc row-locally against the
+    literal word->bits map: no join, no window, no exploded words in
+    the returned plan; the only Exchange is the per-source rollup of
+    three doubles (pass 1's vocabulary reduction already ran as a
+    bounded driver collect, the IVF-centroid pattern)."""
+    df = ops.QUERIES["lm_quality_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan  # no explode in the scoring pass
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "text" not in crossing, crossing
+    assert "word" not in crossing, crossing
