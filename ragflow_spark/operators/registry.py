@@ -52,6 +52,8 @@ PRIORITY_HEAD = [
     "decontaminate_stats",
     "pack_sequences",
     "lm_quality_stats",
+    "token_budget_mix",
+    "label_centroid_similarity",
 ]
 
 # Queries driver-green in both r2 and r3 and untouched since; listed

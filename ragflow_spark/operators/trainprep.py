@@ -83,6 +83,13 @@ PACK_SEQ_LEN = 128
 LM_VOCAB_TOP = 16
 LM_XENT_FLAG_BITS = 10.2
 
+# training-mix: fraction of the corpus token count the run may consume
+# and the temperature exponent on raw source shares (mT5, Xue et al.
+# 2021 §3.1: alpha=0.3 upweights small sources without letting any
+# source dominate).
+MIX_TARGET_FRAC = 0.6
+MIX_TEMPERATURE = 0.3
+
 
 # --------------------------------------------------------------------------
 # decontaminate_stats
@@ -371,4 +378,169 @@ def lm_quality_stats(spark, sf_dir):
                 "flagged_low_quality"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# token_budget_mix
+# --------------------------------------------------------------------------
+
+@register(
+    "token_budget_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             sum(len(string_split(text, ' ')))::BIGINT AS tokens_available
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(tokens_available)::DOUBLE AS total FROM toks
+    ), q AS (
+      SELECT source, tokens_available,
+             pow(tokens_available::DOUBLE / tot.total,
+                 {MIX_TEMPERATURE}) AS q,
+             tot.total AS total
+      FROM toks CROSS JOIN tot
+    ), s AS (
+      SELECT sum(q) AS sumq FROM q
+    ), alloc AS (
+      SELECT source, tokens_available,
+             q / s.sumq AS p,
+             least(
+               tokens_available,
+               floor(round(q / s.sumq, 6)
+                     * floor({MIX_TARGET_FRAC} * total))::BIGINT
+             ) AS tokens_allocated
+      FROM q CROSS JOIN s
+    )
+    SELECT source,
+           tokens_available,
+           round(p, 4) AS mix_weight,
+           tokens_allocated,
+           round(tokens_allocated::DOUBLE / tokens_available, 4)
+             AS keep_rate
+    FROM alloc
+    """,
+)
+def token_budget_mix(spark, sf_dir):
+    """Temperature-based training-mix allocation (mT5, Xue et al. 2021
+    §3.1): raise each source's token share to ``alpha=0.3``,
+    renormalize, and hand each source ``min(available,
+    floor(weight * budget))`` tokens of a 60%-of-corpus budget. The
+    output is the sampling plan a trainer's loader executes.
+
+    Plan shape: one map-side-combined per-source token rollup, then
+    two 1-row aggregates (corpus total, weight normalizer) folded back
+    as broadcast cross joins — the host_profile pattern, no driver
+    collect, no second scan. Weights are rounded to 6 decimals before
+    the budget multiply so both engines floor identical doubles (the
+    pow ulp collapses at round6; see module docstring on libm).
+    """
+    d = spread(table(spark, sf_dir, "documents").select("source", "text"))
+    toks = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "tokens_available"
+        )
+    )
+    tot = toks.agg(F.sum("tokens_available").cast("double").alias("total"))
+    q = toks.crossJoin(F.broadcast(tot)).withColumn(
+        "q",
+        F.pow(
+            F.col("tokens_available").cast("double") / F.col("total"),
+            F.lit(MIX_TEMPERATURE),
+        ),
+    )
+    s = q.agg(F.sum("q").alias("sumq"))
+    p = F.col("q") / F.col("sumq")
+    budget = F.floor(F.lit(MIX_TARGET_FRAC) * F.col("total"))
+    alloc = F.least(
+        F.col("tokens_available"),
+        F.floor(F.round(p, 6) * budget).cast("long"),
+    )
+    return (
+        q.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            "tokens_available",
+            F.round(p, 4).alias("mix_weight"),
+            alloc.alias("tokens_allocated"),
+            F.round(
+                alloc.cast("double") / F.col("tokens_available"), 4
+            ).alias("keep_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# label_centroid_similarity
+# --------------------------------------------------------------------------
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+    WITH ex AS (
+      SELECT label, i AS pos, embedding[i + 1]::DOUBLE AS v
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    ), cent AS (
+      SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos
+    ), pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.c * b.c) AS dot,
+             sum(a.c * a.c) AS na,
+             sum(b.c * b.c) AS nb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM pairs
+    """,
+)
+def label_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine between per-label mean embeddings — the cluster
+    separation diagnostic run before using labels as dedup/sampling
+    strata (near-1 pairs mean the labels are not distinguishable in
+    embedding space).
+
+    Scale shape: centroids reduce via posexplode + per-(label, pos)
+    avg — the shuffle carries map-side PARTIAL sums, bounded by
+    partitions x labels x dims, never the raw vectors; the k x d
+    centroid matrix (10 x 64 here, small for any real label scheme)
+    reassembles with a bounded collect_list-of-(pos, val) and pairs up
+    through a broadcast self-join, k^2/2 rows of three doubles.
+    Embeddings are cast float->double at the scan so both engines do
+    identical double arithmetic (DuckDB FLOAT[] math otherwise drifts;
+    registry contract).
+    """
+    e = spread(
+        table(spark, sf_dir, "embeddings").select(
+            "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    )
+    ex = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    cvec = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label", F.transform("pc", lambda s: s["c"]).alias("cvec")
+        )
+    )
+    a = cvec.select(F.col("label").alias("label_a"), F.col("cvec").alias("va"))
+    b = cvec.select(F.col("label").alias("label_b"), F.col("cvec").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(dot / (norm_a * norm_b), 4).alias("cos_sim"),
     )

@@ -626,3 +626,30 @@ def test_lm_quality_scoring_pass_is_map_side(spark, sf_dir, ops):
     crossing = _attrs_crossing_required_exchanges(df)
     assert "text" not in crossing, crossing
     assert "word" not in crossing, crossing
+
+
+def test_token_budget_mix_totals_come_back_broadcast(spark, sf_dir, ops):
+    """The mix allocation folds its two 1-row aggregates (corpus
+    total, weight normalizer) back as broadcast cross joins — no
+    driver collect, no window; the only required Exchange carries the
+    per-source partial token sums, never text."""
+    df = ops.QUERIES["token_budget_mix"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "text" not in crossing, crossing
+
+
+def test_label_centroid_agg_is_partial_and_ships_no_vectors(spark, sf_dir, ops):
+    """Centroids must reduce via map-side partial (label, pos) sums —
+    the Exchange carries scalar partials bounded by partitions x
+    labels x dims — and the raw embedding arrays must never cross a
+    required Exchange (the k x d centroid side pairs up broadcast)."""
+    df = ops.QUERIES["label_centroid_similarity"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_avg" in plan or "partial_sum" in plan, plan
+    assert "BroadcastExchange" in plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "emb" not in crossing, crossing
+    assert "embedding" not in crossing, crossing
