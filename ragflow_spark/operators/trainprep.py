@@ -91,6 +91,20 @@ MIX_TARGET_FRAC = 0.6
 MIX_TEMPERATURE = 0.3
 
 
+def word_ngrams(ws, n: int = DECONTAM_NGRAM):
+    """Array of space-joined word n-grams of ``ws`` (empty when the
+    doc is shorter than n). Shared by the batch decontamination
+    operator and the streaming decontamination gate."""
+    nw = F.size(ws)
+    return F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(0), nw - n),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # --------------------------------------------------------------------------
 # decontaminate_stats
 # --------------------------------------------------------------------------
@@ -181,14 +195,7 @@ def decontaminate_stats(spark, sf_dir):
         is_victim, F.concat(words, F.split(injected, " "))
     ).otherwise(words)
 
-    nw = F.size(ws)
-    grams = F.when(
-        nw >= DECONTAM_NGRAM,
-        F.transform(
-            F.sequence(F.lit(0), nw - DECONTAM_NGRAM),
-            lambda i: F.array_join(F.slice(ws, i + 1, DECONTAM_NGRAM), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(ws)
 
     enriched = d.select("doc_id", "source", grams.alias("grams"))
     bench_df = spark.createDataFrame([(g,) for g in bench] or [("",)], ["g"])

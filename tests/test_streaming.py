@@ -288,3 +288,50 @@ def test_clean_gate_stream_matches_batch(spark, sf_dir, tmp_path):
     # both suppression paths actually fired: the redelivered text was
     # deduped and the junk doc was gated, so out < in by >= 2
     assert len(got) <= docs.count() - 2
+
+
+def test_decontam_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming decontamination gate == batch filter semantics: a doc
+    carrying an eval 8-gram anywhere in its text is dropped; everything
+    else passes. The gate is stateless, so append mode drains fully."""
+    from ragflow_spark.operators.trainprep import word_ngrams
+    from ragflow_spark.streaming.clean_gate import documents_stream
+    from ragflow_spark.streaming.decontam_gate import decontam_gate_stream
+    from ragflow_spark.streaming.windows import run_to_memory
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    first = base.orderBy("doc_id").first()
+    eval_grams = [" ".join(first.text.split(" ")[:8])]
+
+    # inject a contaminated doc: the eval gram buried mid-text under a
+    # fresh id — the gate must catch non-prefix occurrences too
+    poisoned = "aaa bbb " + eval_grams[0] + " zzz"
+    extra = spark.createDataFrame(
+        [(2_000_000, poisoned, "en", "synth", len(poisoned))], base.schema
+    )
+    docs = base.unionByName(extra)
+    src = tmp_path / "docs_in"
+    docs.write.mode("overwrite").parquet(str(src))
+
+    out = run_to_memory(
+        decontam_gate_stream(documents_stream(spark, str(src)), eval_grams),
+        "decontam_gate",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+
+    lit_set = F.array(*[F.lit(g) for g in eval_grams])
+    batch = {
+        r.doc_id
+        for r in docs.filter(
+            ~F.arrays_overlap(word_ngrams(F.split(F.col("text"), " ")), lit_set)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == batch
+    # both the eval-source doc and the planted mid-text hit were dropped
+    assert first.doc_id not in got and 2_000_000 not in got
+    # and the gate is not degenerate: almost everything else survived
+    assert len(got) >= docs.count() - 4
