@@ -54,6 +54,7 @@ PRIORITY_HEAD = [
     "lm_quality_stats",
     "token_budget_mix",
     "label_centroid_similarity",
+    "dedup_incremental_bloom",
 ]
 
 # Queries driver-green in both r2 and r3 and untouched since; listed
