@@ -352,12 +352,18 @@ def lm_quality_stats(spark, sf_dir):
     d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     words_col = F.split(F.col("text"), " ")
 
+    # corpus total = sum of per-doc word counts: map-side, no explode,
+    # no shuffle — running the explode+groupBy twice (once for the
+    # total, once for the vocab) would double pass-1's shuffle for a
+    # number the scan can produce directly
+    total = d.agg(
+        F.sum(F.size(words_col).cast("long")).alias("t")
+    ).collect()[0]["t"]
     counts = (
         d.select(F.explode(words_col).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    total = counts.agg(F.sum("c").alias("t")).collect()[0]["t"]
     vocab = counts.orderBy(F.desc("c"), F.asc("word")).limit(LM_VOCAB_TOP).collect()
     bits = {
         r["word"]: round(-math.log2(r["c"] / float(total)), 6) for r in vocab

@@ -443,18 +443,33 @@ def test_pii_and_repetition_are_single_rollup(spark, sf_dir, ops):
         assert "Generate" not in plan, name
 
 
-def _attrs_crossing_exchanges(df, include_broadcast: bool = False):
+def _attrs_crossing_exchanges(
+    df, include_broadcast: bool = False, required_only: bool = False
+):
     """Names of every attribute that crosses a (non-broadcast)
     Exchange in the executed plan. Descends into AdaptiveSparkPlan
     (AQE wraps aggregate/join plans; its children() is empty, the real
-    tree hangs off initialPlan)."""
+    tree hangs off initialPlan). With ``required_only``, keeps just
+    ENSURE_REQUIREMENTS shuffles, detected via ``shuffleOrigin()``
+    (not simpleString, whose maxFields truncation could silently drop
+    the origin suffix on wide exchanges)."""
     plan = df._jdf.queryExecution().executedPlan()
     names = []
 
+    def origin_ok(node):
+        if not required_only:
+            return True
+        try:
+            return node.shuffleOrigin().toString() == "ENSURE_REQUIREMENTS"
+        except Exception:
+            return False  # broadcast exchange: no shuffleOrigin
+
     def walk(node):
         name = node.nodeName()
-        if "Exchange" in name and (
-            include_broadcast or "Broadcast" not in name
+        if (
+            "Exchange" in name
+            and (include_broadcast or "Broadcast" not in name)
+            and origin_ok(node)
         ):
             out = node.output()
             for i in range(out.length()):
@@ -561,29 +576,12 @@ def test_url_normalize_is_single_rollup(spark, sf_dir, ops):
 
 
 def _attrs_crossing_required_exchanges(df):
-    """Like _attrs_crossing_exchanges, but only for ENSURE_REQUIREMENTS
+    """_attrs_crossing_exchanges restricted to ENSURE_REQUIREMENTS
     shuffles — the plan's intrinsic Exchanges. registry.spread()'s
     REPARTITION_BY_NUM on tiny single-file test scans is excluded: it
     is a no-op at crawl scale (the byte/file-count gates) so whatever
     it carries locally never crosses a wire in production."""
-    plan = df._jdf.queryExecution().executedPlan()
-    names = []
-
-    def walk(node):
-        name = node.nodeName()
-        if "Exchange" in name and "ENSURE_REQUIREMENTS" in node.simpleString(10):
-            out = node.output()
-            for i in range(out.length()):
-                names.append(out.apply(i).name())
-        if name == "AdaptiveSparkPlan":
-            walk(node.initialPlan())
-            return
-        ch = node.children()
-        for i in range(ch.length()):
-            walk(ch.apply(i))
-
-    walk(plan)
-    return names
+    return _attrs_crossing_exchanges(df, required_only=True)
 
 
 def test_decontaminate_eval_side_is_broadcast(spark, sf_dir, ops):
