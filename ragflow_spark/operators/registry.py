@@ -55,6 +55,7 @@ PRIORITY_HEAD = [
     "token_budget_mix",
     "label_centroid_similarity",
     "dedup_incremental_bloom",
+    "training_corpus_manifest",
 ]
 
 # Queries driver-green in both r2 and r3 and untouched since; listed

@@ -557,3 +557,155 @@ def label_centroid_similarity(spark, sf_dir):
         "label_b",
         F.round(dot / (norm_a * norm_b), 4).alias("cos_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# training_corpus_manifest
+# --------------------------------------------------------------------------
+
+MANIFEST_MIN_TOKENS = 8  # same floor as the streaming clean gate
+
+
+# Deterministic enrichment so every drop path executes (the raw corpus
+# has no exact-dup texts and no sub-8-word docs): clones of doc_id %
+# 29 == 11 arrive under +1e6 ids (exact dups, original wins keep-first)
+# and 2-word stubs arrive under +2e6 ids (short). Both engines rebuild
+# the same union; the eval-gram set comes from the ORIGINAL docs only.
+_CLONE_MOD, _CLONE_RESIDUE = 29, 11
+_STUB_MOD, _STUB_RESIDUE = 31, 13
+
+
+@register(
+    "training_corpus_manifest",
+    oracle=f"""
+    WITH orig AS (
+      SELECT doc_id, source, text FROM documents
+    ), corpus AS (
+      SELECT doc_id, source, text FROM orig
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM orig
+      WHERE doc_id % {_CLONE_MOD} = {_CLONE_RESIDUE}
+      UNION ALL
+      SELECT doc_id + 2000000, source, 'stub ' || doc_id FROM orig
+      WHERE doc_id % {_STUB_MOD} = {_STUB_RESIDUE}
+    ), base AS (
+      SELECT doc_id, source, md5(text) AS h,
+             string_split(text, ' ') AS ws
+      FROM corpus
+    ), keeper AS (
+      SELECT h, min(doc_id) AS keeper_id FROM base GROUP BY h
+    ), bench AS (
+      SELECT DISTINCT
+             array_to_string(string_split(text, ' ')[1:{DECONTAM_NGRAM}],
+                             ' ') AS g
+      FROM orig
+      WHERE doc_id % {EVAL_DOC_MOD} = 0
+        AND len(string_split(text, ' ')) >= {DECONTAM_NGRAM}
+    ), cont AS (
+      SELECT DISTINCT b.doc_id
+      FROM base b,
+           unnest(range(len(b.ws) - {DECONTAM_NGRAM - 1})) AS t(i)
+      JOIN bench ON array_to_string(b.ws[i + 1:i + {DECONTAM_NGRAM}], ' ')
+                    = bench.g
+      WHERE len(b.ws) >= {DECONTAM_NGRAM}
+    ), verdicts AS (
+      SELECT b.source, len(b.ws) AS nt,
+             CASE
+               WHEN b.doc_id != k.keeper_id THEN 'dup'
+               WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+               WHEN len(b.ws) < {MANIFEST_MIN_TOKENS} THEN 'short'
+               ELSE 'kept'
+             END AS verdict
+      FROM base b
+      JOIN keeper k ON b.h = k.h
+      LEFT JOIN cont c ON b.doc_id = c.doc_id
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept,
+           sum(CASE WHEN verdict = 'dup' THEN 1 ELSE 0 END)::BIGINT
+             AS drop_dup,
+           sum(CASE WHEN verdict = 'contaminated' THEN 1 ELSE 0 END)::BIGINT
+             AS drop_contaminated,
+           sum(CASE WHEN verdict = 'short' THEN 1 ELSE 0 END)::BIGINT
+             AS drop_short,
+           sum(CASE WHEN verdict = 'kept' THEN nt ELSE 0 END)::BIGINT
+             AS kept_tokens
+    FROM verdicts GROUP BY source
+    """,
+)
+def training_corpus_manifest(spark, sf_dir):
+    """The end-to-end keep/drop manifest a training run consumes: one
+    DataFrame program composing exact dedup (keep-first by doc_id per
+    content digest), benchmark decontamination (8-gram overlap with
+    the eval set, built from the original docs), and the token floor,
+    with drop-precedence dup > contaminated > short so every document
+    lands in exactly one bucket. Per source: totals, kept docs, drops
+    per reason, kept tokens (the number token_budget_mix then
+    allocates against). Planted clones and 2-word stubs (deterministic
+    enrichment, both engines) make every drop path execute — the raw
+    corpus has no exact dups and no short docs.
+
+    Plan shape: the keep-first pass shuffles (digest, doc_id) pairs
+    only; the contamination check is arrays_overlap against the
+    driver-built eval-gram literal (zero extra shuffle — the
+    decontam_gate form; the broadcast-semi-join form in
+    decontaminate_stats is the swap for huge eval suites); verdicts
+    are then row-local and the rollup is one small Exchange. Text
+    never crosses a required shuffle.
+    """
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    words = F.split(F.col("text"), " ")
+
+    bench_rows = (
+        d.filter(
+            (F.col("doc_id") % EVAL_DOC_MOD == 0)
+            & (F.size(words) >= DECONTAM_NGRAM)
+        )
+        .select(F.array_join(F.slice(words, 1, DECONTAM_NGRAM), " ").alias("g"))
+        .distinct()
+        .collect()
+    )
+    bench = sorted(r["g"] for r in bench_rows)
+    lit_bench = F.array(*[F.lit(g) for g in bench]) if bench else F.array(
+        F.lit("")
+    )
+
+    clones = d.filter(F.col("doc_id") % _CLONE_MOD == _CLONE_RESIDUE).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+    )
+    stubs = d.filter(F.col("doc_id") % _STUB_MOD == _STUB_RESIDUE).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("stub "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    corpus = d.unionByName(clones).unionByName(stubs)
+    base = corpus.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(words).cast("long").alias("nt"),
+        (
+            F.arrays_overlap(word_ngrams(words), lit_bench)
+            if bench
+            else F.lit(False)
+        ).alias("contaminated"),
+    )
+    keeper = base.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    verdict = F.when(F.col("doc_id") != F.col("keeper_id"), "dup").when(
+        F.col("contaminated"), "contaminated"
+    ).when(F.col("nt") < MANIFEST_MIN_TOKENS, "short").otherwise("kept")
+    v = base.join(keeper, "h").select("source", "nt", verdict.alias("verdict"))
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("verdict") == "kept").cast("long")).alias("n_kept"),
+        F.sum((F.col("verdict") == "dup").cast("long")).alias("drop_dup"),
+        F.sum((F.col("verdict") == "contaminated").cast("long")).alias(
+            "drop_contaminated"
+        ),
+        F.sum((F.col("verdict") == "short").cast("long")).alias("drop_short"),
+        F.sum(
+            F.when(F.col("verdict") == "kept", F.col("nt")).otherwise(F.lit(0))
+        ).alias("kept_tokens"),
+    )

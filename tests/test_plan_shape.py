@@ -651,3 +651,17 @@ def test_label_centroid_agg_is_partial_and_ships_no_vectors(spark, sf_dir, ops):
     crossing = _attrs_crossing_required_exchanges(df)
     assert "emb" not in crossing, crossing
     assert "embedding" not in crossing, crossing
+
+
+def test_manifest_keep_first_ships_digests_not_text(spark, sf_dir, ops):
+    """The composed keep/drop manifest must shuffle only (digest, id,
+    scalars) for the keep-first join and the rollup — document text
+    stays map-side (the contamination check is a row-local
+    arrays_overlap against the eval literal, not a join)."""
+    df = ops.QUERIES["training_corpus_manifest"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert crossing, "expected keep-first + rollup shuffles"
+    assert "text" not in crossing, crossing
+    assert "grams" not in crossing, crossing
