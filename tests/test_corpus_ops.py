@@ -131,3 +131,50 @@ def test_pii_patterns_python_crosscheck():
         IP_RE, "<IP>", re.sub(PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", t))
     )
     assert red == "plain words only contact <EMAIL> call <PHONE> from <IP>"
+
+
+def test_pack_sequences_shard_local_form(spark, sf_dir):
+    """The production packing plan documented in trainprep.py: run the
+    IDENTICAL cum-sum window per (source, shard) instead of per source
+    — no global per-source sort, each shard pads its own tail.
+    Invariants vs the per-source form: doc and token totals are
+    unchanged, every shard needs ceil(shard_tokens/L) sequences, and
+    the summed shard sequence count is >= the per-source count (shard
+    tails add padding, never save it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.operators.registry import QUERIES, table
+    from ragflow_spark.operators.trainprep import PACK_SEQ_LEN as L
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+        F.spark_partition_id().alias("shard"),
+    )
+    per_shard = toks.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("tokens"),
+        F.floor((F.sum("nt") + F.lit(L - 1)) / L).alias("n_seq"),
+    )
+    sharded = (
+        per_shard.groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.sum("n_seq").alias("n_sequences"),
+        )
+        .collect()
+    )
+    global_form = {
+        r["source"]: r for r in QUERIES["pack_sequences"](spark, sf_dir).collect()
+    }
+    assert len(sharded) == len(global_form)
+    for r in sharded:
+        g = global_form[r["source"]]
+        assert r["n_docs"] == g["n_docs"]
+        assert r["total_tokens"] == g["total_tokens"]
+        # shard-local packing can only ADD ragged-tail padding
+        assert r["n_sequences"] >= g["n_sequences"]
