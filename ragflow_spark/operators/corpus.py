@@ -800,3 +800,57 @@ def url_normalize_stats(spark, sf_dir):
         F.sum(F.col("raw").contains("utm_").cast("long")).alias("n_tracking"),
         F.sum(F.col("raw").contains("#").cast("long")).alias("n_fragment"),
     )
+
+
+# --------------------------------------------------------------------------
+# cdx_fetch_plan
+# --------------------------------------------------------------------------
+
+@register(
+    "cdx_fetch_plan",
+    oracle="""
+    WITH recs AS (
+      SELECT 'crawl-' || lpad((doc_id % 8)::VARCHAR, 5, '0')
+               || '.warc.gz' AS filename,
+             md5(text) AS digest,
+             (200 + (doc_id % 13) * 37)::BIGINT AS length,
+             strftime(TIMESTAMP '2026-01-01 00:00:00'
+                        + to_seconds(doc_id * 137),
+                      '%Y%m%d%H%M%S') AS ts14
+      FROM documents
+    )
+    SELECT filename,
+           count(*)::BIGINT AS n_records,
+           sum(length)::BIGINT AS total_bytes,
+           count(DISTINCT digest)::BIGINT AS n_unique_digests,
+           (count(*) - count(DISTINCT digest))::BIGINT AS n_dup_records,
+           min(ts14) AS ts_first,
+           max(ts14) AS ts_last
+    FROM recs GROUP BY filename
+    """,
+)
+def cdx_fetch_plan(spark, sf_dir):
+    """Fetch planning over a Common-Crawl CDXJ capture index
+    (sources/cdx.py): per WARC file, how many captures it holds, the
+    bytes a fetcher must pull, how many captures are redundant
+    (digest-duplicate — skip-fetchable), and the capture time span.
+
+    The Spark side reads and PARSES the materialized CDXJ text (scan
+    -> split -> from_json, map-only) while the oracle rebuilds the
+    same rollup arithmetically from the documents table — so the
+    driver value-checks the wire-format round trip end to end, the
+    same pattern as the multimodal BINARY column. Fixed-width ts14
+    strings compare lexicographically = chronologically, so min/max
+    are plain string aggregates.
+    """
+    from ragflow_spark.sources.cdx import cdx_dir, read_cdx_index
+
+    idx = read_cdx_index(spark, cdx_dir(spark, sf_dir))
+    return idx.groupBy("filename").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("length").alias("total_bytes"),
+        F.countDistinct("digest").alias("n_unique_digests"),
+        (F.count(F.lit(1)) - F.countDistinct("digest")).alias("n_dup_records"),
+        F.min("ts14").alias("ts_first"),
+        F.max("ts14").alias("ts_last"),
+    )

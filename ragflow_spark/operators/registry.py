@@ -56,6 +56,7 @@ PRIORITY_HEAD = [
     "label_centroid_similarity",
     "dedup_incremental_bloom",
     "training_corpus_manifest",
+    "cdx_fetch_plan",
 ]
 
 # Queries driver-green in both r2 and r3 and untouched since; listed

@@ -1,0 +1,137 @@
+"""Common-Crawl CDXJ index ingestion — the capture index a crawler
+publishes next to its WARC segments (one line per capture:
+``<urlkey> <timestamp14> <json>``), and what a fetch planner reads to
+decide which WARC ranges to pull.
+
+Like sources/media_store.py, the driver's testdata has no CDX files,
+so this module materializes one deterministically from the documents
+table ONCE per sf_dir (a distributed Spark job, cached under
+``.bench/cdx`` or ``$SPARK_GRAFT_CDX_DIR``), and the reader then
+exercises the real plumbing: text scan -> split -> ``from_json`` —
+map-only, no Exchange, one (splittable) text file per task at crawl
+scale.
+
+Record arithmetic (both engines can rebuild it, so the fetch-plan
+query is driver-value-checkable end to end THROUGH the file):
+
+* url/host/timestamp: sources/pages.py conventions (``url_for``,
+  EPOCH + 137 s * doc_id);
+* urlkey: SURT form — host labels reversed and comma-joined, then
+  ``)/path``;
+* digest: md5 of the document text (so exact-dup docs collide, tying
+  the index to the dedup operators);
+* length: ``200 + (doc_id % 13) * 37`` bytes; filename:
+  ``crawl-{doc_id % 8:05d}.warc.gz``;
+* offset: running sum of lengths within a file in doc_id order
+  (records are contiguous — ``max(offset + length) == sum(length)``
+  per file, pinned by pytest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+CACHE_ENV = "SPARK_GRAFT_CDX_DIR"
+
+N_WARC_FILES = 8
+
+CDX_JSON_SCHEMA = (
+    "url string, digest string, length string, offset string, filename string"
+)
+
+
+def cache_path(sf_dir: str) -> str:
+    """Cache dir for sf_dir's CDXJ lines; keyed like media_store
+    (absolute path + documents.parquet mtime/size) so regenerated or
+    same-basename corpora never serve each other's index."""
+    root = os.environ.get(CACHE_ENV) or os.path.join(_REPO, ".bench", "cdx")
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(ap, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        stamp = "na"
+    digest = hashlib.md5(f"{ap}|{stamp}".encode()).hexdigest()[:10]
+    return os.path.join(root, f"cdx_{os.path.basename(ap)}_{digest}")
+
+
+def _render_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import datetime as dt
+    import json
+
+    from ragflow_spark.sources.pages import EPOCH, host_for, url_for
+
+    for pdf in batches:
+        lines = []
+        for doc_id, digest, offset in zip(
+            pdf["doc_id"].astype("int64"),
+            pdf["digest"],
+            pdf["offset"].astype("int64"),
+        ):
+            doc_id = int(doc_id)
+            host = host_for(doc_id)
+            urlkey = ",".join(reversed(host.split("."))) + f")/doc-{doc_id}"
+            ts = (EPOCH + dt.timedelta(seconds=doc_id * 137)).strftime(
+                "%Y%m%d%H%M%S"
+            )
+            meta = {
+                "url": url_for(doc_id),
+                "digest": digest,
+                "length": str(200 + (doc_id % 13) * 37),
+                "offset": str(int(offset)),
+                "filename": f"crawl-{doc_id % N_WARC_FILES:05d}.warc.gz",
+            }
+            lines.append(f"{urlkey} {ts} {json.dumps(meta, sort_keys=True)}")
+        yield pd.DataFrame({"value": lines})
+
+
+def cdx_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) and return the CDXJ text directory for
+    sf_dir. Generation is a distributed map plus one window for the
+    within-file running offset — a one-time indexing job, exactly what
+    a crawler's indexer runs per segment."""
+    from pyspark.sql import Window
+
+    path = cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.md5("text").alias("digest")
+        )
+        w = (
+            Window.partitionBy(F.col("doc_id") % N_WARC_FILES)
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        length = 200 + (F.col("doc_id") % 13) * 37
+        docs = docs.withColumn(
+            "offset", F.coalesce(F.sum(length).over(w), F.lit(0))
+        )
+        docs.mapInPandas(_render_lines, schema="value string").write.mode(
+            "overwrite"
+        ).text(path)
+    return path
+
+
+def read_cdx_index(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ lines -> typed capture rows: (urlkey, ts14, url, digest,
+    length, offset, filename). Text scan + split + from_json — pure
+    map work, JVM-side, no Exchange (plan-shape-tested)."""
+    v = F.col("value")
+    parts = F.split(v, " ", 3)
+    meta = F.from_json(parts.getItem(2), CDX_JSON_SCHEMA)
+    return spark.read.text(path).select(
+        parts.getItem(0).alias("urlkey"),
+        parts.getItem(1).alias("ts14"),
+        meta["url"].alias("url"),
+        meta["digest"].alias("digest"),
+        meta["length"].cast("long").alias("length"),
+        meta["offset"].cast("long").alias("offset"),
+        meta["filename"].alias("filename"),
+    )
