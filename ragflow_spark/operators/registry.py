@@ -25,60 +25,74 @@ ORACLES: dict[str, str] = {}
 # the window costs the least signal.
 DRIVER_WINDOW = 50
 
-# r3-unchecked (corpus_clean_stats has NEVER been driver-checked) and
-# round-4 additions — must land inside the window this round.
+# Round-5 window: new queries first (never driver-checked), then
+# everything whose last driver verdict was r3 (rotated outside r4's
+# window) — steady state is a verdict at least every other round, so
+# the r3-last-green set MUST be inside r5's window. Queries checked
+# green in r4 may sit out one round.
 PRIORITY_HEAD = [
-    "corpus_clean_stats",
-    "fingerprint",
-    "keyword_topn",
-    "scalar_functions",
-    "categorize_route",
-    "token_truncate",
-    "fingerprint_winnow",
-    # round-4 additions
-    "percentiles_by_source_approx",
-    "extract_text_hashes_structured",
-    "repetition_signals",
-    "segment_dedup",
-    "pii_redact_stats",
-    "extract_text_hashes_full",
-    # round-4 second half
-    "dedup_incremental",
-    "stratified_sample",
-    "host_profile",
-    "chunk_spans_full",
-    "url_normalize_stats",
-    # round-4 third wave: training-run preparation
-    "decontaminate_stats",
-    "pack_sequences",
-    "lm_quality_stats",
-    "token_budget_mix",
-    "label_centroid_similarity",
-    "dedup_incremental_bloom",
-    "training_corpus_manifest",
-    "cdx_fetch_plan",
+    # round-5 additions (never driver-checked)
+    "dedup_substring",
+    "pack_sequences_sharded",
+    # single-green (r3 only) — VERDICT r4 item 2: re-verify first
+    "topk_per_group",
+    "hybrid_retrieval_topk",
+    "ann_ivf_topk_bigk",
+    # r3-last-green similarity set
+    "cite_insertion",
+    "neardup_embedding",
+    "ann_ivf_topk",
+    "cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_query_topk",
+    # r3-last-green relational/textops tail
+    "anti_join_customers",
+    "argmax_count",
+    "contains_filter",
+    "error_as_row",
+    "intersect_active_segments",
+    "lang_id",
+    "multirow_fold",
+    "quality_score",
+    "rename_projection",
+    "split_explode",
+    "sql_passthrough",
+    "switch_predicates",
+    "template_interpolation",
+    "token_count",
+    "top_n_limit",
+    "top_revenue_orders",
+    "union_dedup",
 ]
 
-# Queries driver-green in both r2 and r3 and untouched since; listed
-# most-expendable first.
+# Queries driver-green in 2+ consecutive rounds (r1/r2 through r4) and
+# untouched since; listed most-expendable first. The r4-first-green
+# additions stay in the mid section so as many as fit get a second
+# verdict this round.
 STABLE_TAIL = [
-    "top_n_limit",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "contains_filter",
-    "rename_projection",
-    "sql_passthrough",
-    "error_as_row",
-    "template_interpolation",
-    "union_dedup",
-    "switch_predicates",
-    "split_explode",
-    "argmax_count",
-    "multirow_fold",
-    "anti_join_customers",
-    "intersect_active_segments",
-    "top_revenue_orders",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "percentiles_by_source",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "neardup_jaccard",
+    "dedup_simhash",
+    "windowed_event_counts",
+    "sessionize",
+    "history_window",
+    "rollup_revenue",
+    "hopping_event_counts",
+    "session_window_counts",
+    "pivot_event_values",
+    "asof_last_login",
+    "cube_event_stats",
+    "extract_pages_stats",
+    "extract_text_hashes_plain",
+    "media_metadata",
+    "image_thumbnail_stats",
+    "frame_sample_checksum",
+    "template_render_full",
+    "dedup_components",
 ]
 
 
