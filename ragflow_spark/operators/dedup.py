@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ragflow_spark.operators.registry import register, table
+from ragflow_spark.operators.registry import register, spread, table
 
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # bands of r=2 rows each
@@ -585,4 +585,159 @@ def dedup_components(spark, sf_dir):
     labels = connected_components(edges)
     return labels.select(
         "doc_id", F.col("label").cast("bigint").alias("component_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_substring — exact-substring dedup (Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+SUBSTR_K = 8  # tokens per gram; a shared run of R grams = R+K-1 tokens
+
+# Deterministic enrichment: the raw corpus has no long cross-document
+# substrings, so "remix" documents are planted — for every doc with
+# doc_id % 17 == 3 and >= 30 words, a new doc whose middle 20 words
+# (words 5..24) are copied verbatim from the original between unique
+# noise sentinels. Remix ids are offset by max(doc_id)+1, derived from
+# the corpus on BOTH sides (no fixed-constant collision risk).
+_REMIX_MOD, _REMIX_RESIDUE, _REMIX_MIN_WORDS = 17, 3, 30
+_REMIX_COPY_START, _REMIX_COPY_LEN = 5, 20
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+    orig AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), remix AS (
+      SELECT o.doc_id + mx.off AS doc_id,
+             string_split(
+               'noisehead-' || o.doc_id || ' ' ||
+               array_to_string(
+                 ws[{_REMIX_COPY_START}:
+                    {_REMIX_COPY_START + _REMIX_COPY_LEN - 1}], ' ') ||
+               ' noisetail-' || o.doc_id, ' ') AS ws
+      FROM orig o, mx
+      WHERE o.doc_id % {_REMIX_MOD} = {_REMIX_RESIDUE}
+        AND len(ws) >= {_REMIX_MIN_WORDS}
+    ), corpus AS (
+      SELECT doc_id, ws FROM orig UNION ALL SELECT doc_id, ws FROM remix
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ws[i + 1:i + {SUBSTR_K}], ' ') AS g
+      FROM corpus, unnest(range(len(ws) - {SUBSTR_K - 1})) AS t(i)
+      WHERE len(ws) >= {SUBSTR_K}
+    ), dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+    ), shared AS (
+      SELECT doc_id, pos FROM grams JOIN dupg USING (g)
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isle
+      FROM shared
+    ), runs AS (
+      SELECT doc_id, isle, count(*) AS run_len
+      FROM isl GROUP BY doc_id, isle
+    ), per_doc AS (
+      SELECT doc_id, max(run_len) AS max_run, sum(run_len) AS n_shared
+      FROM runs GROUP BY doc_id
+    ), ng AS (
+      SELECT doc_id, len(ws) - {SUBSTR_K - 1} AS n_grams
+      FROM corpus WHERE len(ws) >= {SUBSTR_K}
+    )
+    SELECT p.doc_id,
+           ng.n_grams::BIGINT AS n_grams,
+           p.n_shared::BIGINT AS n_shared_grams,
+           p.max_run::BIGINT AS max_run_grams,
+           (p.max_run + {SUBSTR_K - 1})::BIGINT AS dup_tokens
+    FROM per_doc p JOIN ng USING (doc_id)
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Exact-substring dedup, the canonical LLM-training-data dedup
+    alongside minhash/simhash (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022): find runs of >= K
+    consecutive tokens shared across documents. Lee et al. build a
+    monolithic suffix array; the distributed form here is the standard
+    bucketed approximation — K-token gram digests, grouped to find
+    grams occurring in more than one document, then per-document
+    adjacent-run (gaps-and-islands) detection, so a cross-document
+    shared substring of R grams reports as a run of R, i.e. R+K-1
+    shared tokens. Per affected document: gram count, shared-gram
+    count, longest run, and its token length.
+
+    Scale (100 TB): text NEVER crosses the wire — grams are hashed to
+    8-byte xxhash64 digests row-locally before the explode, so the
+    dup-gram groupBy shuffles (digest, doc_id) pairs, the semi join
+    back shuffles (doc_id, pos, digest) triples (AQE broadcasts the
+    dup-gram side when it is small), and the islands window
+    partitions by doc_id carrying three scalars with per-doc state
+    bounded by document length. This is the same digest-only-shuffle
+    contract as every other dedup variant (plan-enforced in
+    tests/test_plan_shape.py). The remix-id offset derivation is one
+    1-row aggregate (bounded collect, registry contract).
+    """
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    words = F.split(F.col("text"), " ")
+
+    remix_text = F.concat_ws(
+        " ",
+        F.concat(F.lit("noisehead-"), F.col("doc_id").cast("string")),
+        F.array_join(
+            F.slice(words, _REMIX_COPY_START, _REMIX_COPY_LEN), " "
+        ),
+        F.concat(F.lit("noisetail-"), F.col("doc_id").cast("string")),
+    )
+    remix = d.filter(
+        (F.col("doc_id") % _REMIX_MOD == _REMIX_RESIDUE)
+        & (F.size(words) >= _REMIX_MIN_WORDS)
+    ).select((F.col("doc_id") + F.lit(off)).alias("doc_id"), remix_text.alias("text"))
+
+    corpus = (
+        d.select("doc_id", "text")
+        .unionByName(remix)
+        .filter(F.size(words) >= SUBSTR_K)
+    )
+    # row-local gram hashing BEFORE the explode: only 8-byte digests
+    # ever leave the row
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(words) - SUBSTR_K),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, SUBSTR_K), " ")),
+    )
+    grams = corpus.select(
+        "doc_id",
+        (F.size(words) - (SUBSTR_K - 1)).cast("long").alias("n_grams"),
+        F.posexplode(gram_hashes).alias("pos", "gh"),
+    )
+
+    dupg = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    shared = grams.join(dupg, "gh", "left_semi")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = shared.withColumn("isle", F.col("pos") - F.row_number().over(w))
+    runs = isl.groupBy("doc_id", "isle").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.first("n_grams").alias("n_grams"),
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.first("n_grams").alias("n_grams"),
+        F.sum("run_len").alias("n_shared_grams"),
+        F.max("run_len").alias("max_run_grams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+        F.col("max_run_grams").cast("long").alias("max_run_grams"),
+        (F.col("max_run_grams") + (SUBSTR_K - 1)).cast("long").alias("dup_tokens"),
     )

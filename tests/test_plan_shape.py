@@ -665,3 +665,18 @@ def test_manifest_keep_first_ships_digests_not_text(spark, sf_dir, ops):
     assert crossing, "expected keep-first + rollup shuffles"
     assert "text" not in crossing, crossing
     assert "grams" not in crossing, crossing
+
+
+def test_dedup_substring_shuffles_gram_digests_only(spark, sf_dir, ops):
+    """Exact-substring dedup must hash grams to 8-byte digests
+    row-locally BEFORE the explode: every required Exchange (dup-gram
+    count, semi join, islands window, per-doc rollup) carries only
+    (doc_id, pos, digest, scalar) attributes — never text, never gram
+    strings, never arrays. The suffix-array semantics ride entirely on
+    digest arithmetic (Lee et al. 2022 bucketed approximation)."""
+    df = ops.QUERIES["dedup_substring"](spark, sf_dir)
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert crossing, "expected the gram-count + window shuffles"
+    assert "text" not in crossing, crossing
+    assert "g" not in crossing, crossing  # gram strings must not ship
+    assert not arrays_crossing_exchanges(df), "no array may cross"
