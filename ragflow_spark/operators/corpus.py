@@ -56,9 +56,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ragflow_spark.operators.registry import register, spread, table
+from ragflow_spark.operators.registry import input_bytes, register, spread, table
 
 SEG_WORDS = 3  # C4 uses three-sentence spans; word-soup docs -> 3-word spans
+
+# segment_dedup broadcasts its duplicate-span table only when the
+# input corpus is under this size: the dup table grows with corpus
+# duplication (unbounded on a real crawl), so the hint must not be
+# forced at scale. 256 MB of input bounds the dup side well under
+# executor broadcast limits.
+SEG_DUP_BROADCAST_MAX_BYTES = 256 << 20
 TOP2_FLAG_THRESHOLD = 0.20  # Gopher: docs with top-2-gram char fraction > 0.20
 
 # 32-bit md5 prefix per document, folded with bit_xor: O(1) agg state.
@@ -237,8 +244,21 @@ def segment_dedup(spark, sf_dir):
     segments); (5) a tiny per-source rollup with an O(1)-state
     bit_xor corpus signature. Text crosses an Exchange exactly once
     (step 4) — the irreducible cost of a corpus rewrite.
+
+    The dup-span side is broadcast ONLY below an input-size gate: the
+    duplicate-span table scales with corpus duplication (boilerplate
+    spans repeat across millions of pages on a real crawl), so a
+    forced broadcast OOMs the executors at 100x. Above the gate the
+    hint is dropped and the join shuffles digest rows (AQE still
+    converts to broadcast at runtime when the actual table is small).
     """
-    d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    raw = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # the dup table is bounded by the corpus's distinct duplicated
+    # spans; under this input size it cannot approach broadcast limits
+    dup_broadcastable = (
+        input_bytes(raw) or SEG_DUP_BROADCAST_MAX_BYTES + 1
+    ) <= SEG_DUP_BROADCAST_MAX_BYTES
+    d = spread(raw)
     words = F.split(F.col("text"), " ")
     n_seg = F.floor((F.size(words) + F.lit(SEG_WORDS - 1)) / SEG_WORDS).cast("int")
     segs = F.transform(
@@ -256,7 +276,9 @@ def segment_dedup(spark, sf_dir):
         .filter(F.col("c") > 1)
     )
 
-    marked = ex.join(F.broadcast(dup), "h", "left").withColumn(
+    marked = ex.join(
+        F.broadcast(dup) if dup_broadcastable else dup, "h", "left"
+    ).withColumn(
         "rm",
         F.col("c").isNotNull()
         & (

@@ -128,6 +128,21 @@ def _local_size(uri: str) -> int:
     return os.path.getsize(urlparse(uri).path or uri)
 
 
+def input_bytes(df) -> int | None:
+    """Total bytes of the files backing a scan, or None when the plan
+    is not file-backed / the store can't be stat'd. Listing only — no
+    job. Used by operators that size-gate a broadcast hint on the
+    input corpus (a cheap, deterministic stand-in for the unknown
+    post-aggregation table size Catalyst can't estimate)."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    try:
+        return sum(_local_size(f) for f in files)
+    except OSError:
+        return None
+
+
 def spread(df):
     """Repartition ONLY when the scan underprovisions the cluster
     (tiny test files -> 1-4 partitions on 32 cores, which serializes

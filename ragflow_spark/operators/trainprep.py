@@ -164,9 +164,12 @@ def decontaminate_stats(spark, sf_dir):
     The membership check is a broadcast left-semi join of exploded doc
     8-grams against the eval grams: map-side only, no shuffle of the
     exploded side; only matched (doc_id, source) ids reach the
-    distinct. The eval list also serves as the bounded driver-side
-    literal for the enrichment (eval suites are small by nature —
-    the IVF-centroid collect pattern).
+    distinct. The victim enrichment picks its injected gram via a
+    broadcast LEFT join on the round-robin rank — NOT a plan literal:
+    the synthesized eval set grows with scale factor, and an
+    element_at over an N-element literal array bloats Catalyst
+    codegen linearly with N (r4 ADVICE). The bounded driver collect
+    of the eval grams (the IVF-centroid pattern) stays.
     """
     d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     words = F.split(F.col("text"), " ")
@@ -184,20 +187,24 @@ def decontaminate_stats(spark, sf_dir):
     bench = [r["g"] for r in bench_rows]
     n_bench = max(len(bench), 1)
 
-    is_victim = (F.col("doc_id") % VICTIM_MOD == VICTIM_RESIDUE) & F.lit(
-        bool(bench)
+    bench_rn_df = spark.createDataFrame(
+        [(i + 1, g) for i, g in enumerate(bench)] or [(1, None)],
+        "rn int, g_inj string",
     )
-    injected = F.element_at(
-        F.array(*[F.lit(g) for g in bench]) if bench else F.array(F.lit("")),
-        (F.col("doc_id") % n_bench + 1).cast("int"),
+    is_victim = F.col("doc_id") % VICTIM_MOD == VICTIM_RESIDUE
+    joined = d.join(
+        F.broadcast(bench_rn_df),
+        (F.col("doc_id") % n_bench + 1).cast("int") == F.col("rn"),
+        "left",
     )
     ws = F.when(
-        is_victim, F.concat(words, F.split(injected, " "))
+        is_victim & F.col("g_inj").isNotNull(),
+        F.concat(words, F.split("g_inj", " ")),
     ).otherwise(words)
 
     grams = word_ngrams(ws)
 
-    enriched = d.select("doc_id", "source", grams.alias("grams"))
+    enriched = joined.select("doc_id", "source", grams.alias("grams"))
     bench_df = spark.createDataFrame([(g,) for g in bench] or [("",)], ["g"])
     contaminated = (
         enriched.select("doc_id", "source", F.explode("grams").alias("g"))
@@ -568,11 +575,23 @@ MANIFEST_MIN_TOKENS = 8  # same floor as the streaming clean gate
 
 # Deterministic enrichment so every drop path executes (the raw corpus
 # has no exact-dup texts and no sub-8-word docs): clones of doc_id %
-# 29 == 11 arrive under +1e6 ids (exact dups, original wins keep-first)
-# and 2-word stubs arrive under +2e6 ids (short). Both engines rebuild
-# the same union; the eval-gram set comes from the ORIGINAL docs only.
+# 29 == 11 arrive as exact dups (original wins keep-first) and 2-word
+# stubs arrive as short docs. Enrichment ids are offset by
+# max(doc_id)+1 (clones) and 2*(max(doc_id)+1) (stubs), derived from
+# the corpus on BOTH sides, so they can never collide with real ids
+# (r4 ADVICE: fixed +1e6/+2e6 offsets collide on >1M-doc corpora).
+# Both engines rebuild the same union; the eval-gram set comes from
+# the ORIGINAL docs only.
 _CLONE_MOD, _CLONE_RESIDUE = 29, 11
 _STUB_MOD, _STUB_RESIDUE = 31, 13
+
+# Above this eval-gram count the manifest's contamination check swaps
+# the row-local arrays_overlap-vs-literal for the broadcast left-semi
+# join (the decontaminate_stats plan): the synthesized eval set grows
+# with scale factor, and a plan literal grows Catalyst codegen
+# linearly with it. Real eval suites are fixed-size; the gate makes
+# the operator safe either way.
+MANIFEST_GRAM_LITERAL_MAX = 512
 
 
 @register(
@@ -580,13 +599,16 @@ _STUB_MOD, _STUB_RESIDUE = 31, 13
     oracle=f"""
     WITH orig AS (
       SELECT doc_id, source, text FROM documents
+    ), mx AS (
+      SELECT max(doc_id) + 1 AS off FROM orig
     ), corpus AS (
       SELECT doc_id, source, text FROM orig
       UNION ALL
-      SELECT doc_id + 1000000, source, text FROM orig
+      SELECT doc_id + (SELECT off FROM mx), source, text FROM orig
       WHERE doc_id % {_CLONE_MOD} = {_CLONE_RESIDUE}
       UNION ALL
-      SELECT doc_id + 2000000, source, 'stub ' || doc_id FROM orig
+      SELECT doc_id + 2 * (SELECT off FROM mx), source, 'stub ' || doc_id
+      FROM orig
       WHERE doc_id % {_STUB_MOD} = {_STUB_RESIDUE}
     ), base AS (
       SELECT doc_id, source, md5(text) AS h,
@@ -649,11 +671,13 @@ def training_corpus_manifest(spark, sf_dir):
 
     Plan shape: the keep-first pass shuffles (digest, doc_id) pairs
     only; the contamination check is arrays_overlap against the
-    driver-built eval-gram literal (zero extra shuffle — the
-    decontam_gate form; the broadcast-semi-join form in
-    decontaminate_stats is the swap for huge eval suites); verdicts
-    are then row-local and the rollup is one small Exchange. Text
-    never crosses a required shuffle.
+    driver-built eval-gram literal while the eval set is small
+    (zero extra shuffle — the decontam_gate form) and switches to the
+    broadcast-left-semi-join form (the decontaminate_stats plan)
+    above MANIFEST_GRAM_LITERAL_MAX grams, where a plan literal would
+    bloat codegen; verdicts are then row-local and the rollup is one
+    small Exchange. Text never crosses a required shuffle in either
+    regime.
     """
     d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     words = F.split(F.col("text"), " ")
@@ -668,30 +692,50 @@ def training_corpus_manifest(spark, sf_dir):
         .collect()
     )
     bench = sorted(r["g"] for r in bench_rows)
-    lit_bench = F.array(*[F.lit(g) for g in bench]) if bench else F.array(
-        F.lit("")
-    )
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
 
     clones = d.filter(F.col("doc_id") % _CLONE_MOD == _CLONE_RESIDUE).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"), "source", "text"
     )
     stubs = d.filter(F.col("doc_id") % _STUB_MOD == _STUB_RESIDUE).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(2 * off)).alias("doc_id"),
         "source",
         F.concat(F.lit("stub "), F.col("doc_id").cast("string")).alias("text"),
     )
     corpus = d.unionByName(clones).unionByName(stubs)
-    base = corpus.select(
-        "doc_id",
-        "source",
+    scalars = [
+        F.col("doc_id"),
+        F.col("source"),
         F.md5("text").alias("h"),
         F.size(words).cast("long").alias("nt"),
-        (
-            F.arrays_overlap(word_ngrams(words), lit_bench)
-            if bench
-            else F.lit(False)
-        ).alias("contaminated"),
-    )
+    ]
+    if not bench:
+        base = corpus.select(*scalars, F.lit(False).alias("contaminated"))
+    elif len(bench) <= MANIFEST_GRAM_LITERAL_MAX:
+        lit_bench = F.array(*[F.lit(g) for g in bench])
+        base = corpus.select(
+            *scalars,
+            F.arrays_overlap(word_ngrams(words), lit_bench).alias(
+                "contaminated"
+            ),
+        )
+    else:
+        bench_df = spark.createDataFrame([(g,) for g in bench], ["g"])
+        cont_ids = (
+            corpus.select("doc_id", F.explode(word_ngrams(words)).alias("g"))
+            .join(F.broadcast(bench_df), "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("cont_hit", F.lit(True))
+        )
+        base = (
+            corpus.select(*scalars)
+            .join(cont_ids, "doc_id", "left")
+            .withColumn(
+                "contaminated", F.coalesce("cont_hit", F.lit(False))
+            )
+            .drop("cont_hit")
+        )
     keeper = base.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
     verdict = F.when(F.col("doc_id") != F.col("keeper_id"), "dup").when(
         F.col("contaminated"), "contaminated"

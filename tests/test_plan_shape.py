@@ -680,3 +680,52 @@ def test_dedup_substring_shuffles_gram_digests_only(spark, sf_dir, ops):
     assert "text" not in crossing, crossing
     assert "g" not in crossing, crossing  # gram strings must not ship
     assert not arrays_crossing_exchanges(df), "no array may cross"
+
+
+def test_segment_dedup_broadcast_gate_both_regimes(
+    spark, sf_dir, ops, monkeypatch
+):
+    """r4 VERDICT item 5: the dup-span broadcast must be size-gated.
+    With the planner's own auto-broadcast disabled, the small-input
+    regime still broadcasts (the explicit hint fires below the gate)
+    while the large-input regime does NOT (no forced hint — at crawl
+    scale the dup-span table is unbounded and a forced broadcast OOMs;
+    AQE may still convert at runtime from actual sizes)."""
+    import ragflow_spark.operators.corpus as corpus
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = plan_of(ops.QUERIES["segment_dedup"](spark, sf_dir))
+        assert "BroadcastHashJoin" in hinted, "gate dropped the small-side hint"
+        monkeypatch.setattr(corpus, "SEG_DUP_BROADCAST_MAX_BYTES", 0)
+        unhinted = plan_of(ops.QUERIES["segment_dedup"](spark, sf_dir))
+        assert "BroadcastHashJoin" not in unhinted, "hint forced above the gate"
+        assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_manifest_join_regime_matches_literal_regime(
+    spark, sf_dir, ops, monkeypatch
+):
+    """r4 VERDICT item 6: above MANIFEST_GRAM_LITERAL_MAX the
+    manifest's contamination check swaps the arrays_overlap literal
+    for the broadcast-semi-join plan. Forced into the join regime it
+    must (a) return exactly the literal regime's rows and (b) keep the
+    no-text-across-required-exchanges contract + no Window."""
+    import ragflow_spark.operators.trainprep as trainprep
+
+    lit_rows = sorted(
+        map(tuple, ops.QUERIES["training_corpus_manifest"](spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(trainprep, "MANIFEST_GRAM_LITERAL_MAX", 0)
+    df = ops.QUERIES["training_corpus_manifest"](spark, sf_dir)
+    join_rows = sorted(map(tuple, df.collect()))
+    assert lit_rows == join_rows
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "text" not in crossing, crossing
+    assert "grams" not in crossing, crossing
+    assert "g" not in crossing, crossing
