@@ -34,6 +34,11 @@ PRIORITY_HEAD = [
     # round-5 additions (never driver-checked)
     "dedup_substring",
     "pack_sequences_sharded",
+    # changed in round 5 (broadcast/literal gates + derived offsets) —
+    # must be re-verified by the driver this round
+    "training_corpus_manifest",
+    "decontaminate_stats",
+    "segment_dedup",
     # single-green (r3 only) — VERDICT r4 item 2: re-verify first
     "topk_per_group",
     "hybrid_retrieval_topk",

@@ -729,3 +729,31 @@ def test_manifest_join_regime_matches_literal_regime(
     assert "text" not in crossing, crossing
     assert "grams" not in crossing, crossing
     assert "g" not in crossing, crossing
+
+
+def test_pack_sequences_sharded_window_is_shard_partitioned(spark, sf_dir, ops):
+    """The registered shard-local packing twin must window on
+    (source, shard) — never a per-source global sort — and ship only
+    scalars across required Exchanges. Totals must reconcile with the
+    per-source reference form: identical docs/tokens, sequence count
+    larger by at most one ragged tail per (source, shard)."""
+    from ragflow_spark.operators.trainprep import PACK_SHARDS
+
+    df = ops.QUERIES["pack_sequences_sharded"](spark, sf_dir)
+    plan = plan_of(df)
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines and all("shard" in l for l in win_lines), win_lines
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "text" not in crossing, crossing
+
+    sharded = {r["source"]: r for r in df.collect()}
+    ref = {
+        r["source"]: r
+        for r in ops.QUERIES["pack_sequences"](spark, sf_dir).collect()
+    }
+    assert set(sharded) == set(ref)
+    for s, r in sharded.items():
+        g = ref[s]
+        assert r["n_docs"] == g["n_docs"]
+        assert r["total_tokens"] == g["total_tokens"]
+        assert g["n_sequences"] <= r["n_sequences"] <= g["n_sequences"] + PACK_SHARDS
