@@ -115,14 +115,17 @@ def pages_parquet(spark, sf_dir: str, repeat: int, text_tile: int = 1) -> str:
     path = os.path.join(
         REPO, ".bench", f"pages_{tag}_r{repeat}{suffix}_p128.parquet"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    from ragflow_spark.sources.cachefs import atomic_materialize
+
+    def write(tmp: str) -> None:
         from ragflow_spark.sources.pages import synthesize_pages
 
         pages = synthesize_pages(spark, sf_dir, repeat=repeat, text_tile=text_tile)
         # 128 files -> enough scan partitions for smooth scheduling at
         # local[32] (4 waves of uniform ~5 MB tasks)
-        pages.repartition(128).write.mode("overwrite").parquet(path)
-    return path
+        pages.repartition(128).write.mode("overwrite").parquet(tmp)
+
+    return atomic_materialize(path, write)
 
 
 def bench_extraction(

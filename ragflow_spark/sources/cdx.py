@@ -99,8 +99,9 @@ def cdx_dir(spark: SparkSession, sf_dir: str) -> str:
     a crawler's indexer runs per segment."""
     from pyspark.sql import Window
 
-    path = cache_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    from ragflow_spark.sources.cachefs import atomic_materialize
+
+    def write(tmp: str) -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", F.md5("text").alias("digest")
         )
@@ -110,13 +111,14 @@ def cdx_dir(spark: SparkSession, sf_dir: str) -> str:
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         length = 200 + (F.col("doc_id") % 13) * 37
-        docs = docs.withColumn(
+        staged = docs.withColumn(
             "offset", F.coalesce(F.sum(length).over(w), F.lit(0))
         )
-        docs.mapInPandas(_render_lines, schema="value string").write.mode(
+        staged.mapInPandas(_render_lines, schema="value string").write.mode(
             "overwrite"
-        ).text(path)
-    return path
+        ).text(tmp)
+
+    return atomic_materialize(cache_path(sf_dir), write)
 
 
 def read_cdx_index(spark: SparkSession, path: str) -> DataFrame:

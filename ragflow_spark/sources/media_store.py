@@ -62,13 +62,15 @@ def media_parquet(spark, sf_dir: str) -> str:
     """Path of the (doc_id BIGINT, media BINARY) parquet for sf_dir,
     materializing it on first use. Cache root is $SPARK_GRAFT_MEDIA_DIR
     or <repo>/.bench/media (gitignored)."""
-    path = cache_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    from ragflow_spark.sources.cachefs import atomic_materialize
+
+    def write(tmp: str) -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
         docs.mapInPandas(_encode_batches, schema=_GEN_SCHEMA).write.mode(
             "overwrite"
-        ).parquet(path)
-    return path
+        ).parquet(tmp)
+
+    return atomic_materialize(cache_path(sf_dir), write)
 
 
 def media_table(spark, sf_dir: str):

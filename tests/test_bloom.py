@@ -86,3 +86,30 @@ def test_bloom_twin_matches_exact_and_prunes(spark, sf_dir, ops):
     # true dups lower-bound the candidate set (no false negatives)
     true_dups = new_docs.join(committed, "h", "left_semi").count()
     assert n_candidates >= true_dups
+
+
+def test_staged_or_fold_matches_direct_collect(spark, sf_dir, monkeypatch):
+    """Forcing the executor-side OR stage (driver budget of 1 byte)
+    must produce the byte-identical bitmap the direct collect builds,
+    and an over-cap bitmap must fail loudly instead of OOMing."""
+    import pytest
+
+    import ragflow_spark.operators.bloomfilter as bf
+    from pyspark.sql import functions as F
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.md5("text").alias("h"))
+        .repartition(8)
+    )
+    hashed = bf.with_bloom_hashes(d, "h")
+    n = d.count()
+    direct, m_direct = bf.build_bloom(hashed, n)
+    monkeypatch.setattr(bf, "BLOOM_DRIVER_COLLECT_BUDGET", 1)
+    staged, m_staged = bf.build_bloom(hashed, n)
+    assert m_direct == m_staged
+    assert direct == staged
+
+    monkeypatch.setattr(bf, "BLOOM_MAX_BITMAP_BYTES", 16)
+    with pytest.raises(ValueError, match="shard the filter"):
+        bf.build_bloom(hashed, n)
