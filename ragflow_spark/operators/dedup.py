@@ -603,15 +603,15 @@ SUBSTR_K = 8  # tokens per gram; a shared run of R grams = R+K-1 tokens
 _REMIX_MOD, _REMIX_RESIDUE, _REMIX_MIN_WORDS = 17, 3, 30
 _REMIX_COPY_START, _REMIX_COPY_LEN = 5, 20
 
-
-@register(
-    "dedup_substring",
-    oracle=f"""
-    WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+# Shared oracle CTE block (enriched corpus -> grams -> cross-document
+# dup grams -> shared positions) — the basis of both substring
+# operators' oracles, mirroring _substring_tables() below.
+_SUBSTR_CTES = f"""
+    mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
     orig AS (
-      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
     ), remix AS (
-      SELECT o.doc_id + mx.off AS doc_id,
+      SELECT o.doc_id + mx.off AS doc_id, o.source,
              string_split(
                'noisehead-' || o.doc_id || ' ' ||
                array_to_string(
@@ -622,7 +622,8 @@ _REMIX_COPY_START, _REMIX_COPY_LEN = 5, 20
       WHERE o.doc_id % {_REMIX_MOD} = {_REMIX_RESIDUE}
         AND len(ws) >= {_REMIX_MIN_WORDS}
     ), corpus AS (
-      SELECT doc_id, ws FROM orig UNION ALL SELECT doc_id, ws FROM remix
+      SELECT doc_id, source, ws FROM orig
+      UNION ALL SELECT doc_id, source, ws FROM remix
     ), grams AS (
       SELECT doc_id, i AS pos,
              array_to_string(ws[i + 1:i + {SUBSTR_K}], ' ') AS g
@@ -632,7 +633,73 @@ _REMIX_COPY_START, _REMIX_COPY_LEN = 5, 20
       SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
     ), shared AS (
       SELECT doc_id, pos FROM grams JOIN dupg USING (g)
-    ), isl AS (
+    )
+"""
+
+
+def _substring_tables(spark, sf_dir):
+    """(meta, shared) for the exact-substring operators: ``meta`` =
+    one row per enriched-corpus doc with >= K words (doc_id, source,
+    n_tok, n_grams); ``shared`` = (doc_id, pos, n_grams) for every
+    gram position whose K-token gram occurs in more than one document.
+    Grams are hashed to 8-byte xxhash64 digests row-locally BEFORE the
+    explode, so only digests + scalars ever cross an Exchange."""
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    words = F.split(F.col("text"), " ")
+
+    remix_text = F.concat_ws(
+        " ",
+        F.concat(F.lit("noisehead-"), F.col("doc_id").cast("string")),
+        F.array_join(
+            F.slice(words, _REMIX_COPY_START, _REMIX_COPY_LEN), " "
+        ),
+        F.concat(F.lit("noisetail-"), F.col("doc_id").cast("string")),
+    )
+    remix = d.filter(
+        (F.col("doc_id") % _REMIX_MOD == _REMIX_RESIDUE)
+        & (F.size(words) >= _REMIX_MIN_WORDS)
+    ).select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+        "source",
+        remix_text.alias("text"),
+    )
+
+    corpus = (
+        d.select("doc_id", "source", "text")
+        .unionByName(remix)
+        .filter(F.size(words) >= SUBSTR_K)
+    )
+    meta = corpus.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("long").alias("n_tok"),
+        (F.size(words) - (SUBSTR_K - 1)).cast("long").alias("n_grams"),
+    )
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(words) - SUBSTR_K),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, SUBSTR_K), " ")),
+    )
+    grams = corpus.select(
+        "doc_id",
+        (F.size(words) - (SUBSTR_K - 1)).cast("long").alias("n_grams"),
+        F.posexplode(gram_hashes).alias("pos", "gh"),
+    )
+    dupg = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    shared = grams.join(dupg, "gh", "left_semi")
+    return meta, shared
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+    WITH {_SUBSTR_CTES}
+    , isl AS (
       SELECT doc_id, pos,
              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
                AS isle
@@ -681,47 +748,7 @@ def dedup_substring(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
-    words = F.split(F.col("text"), " ")
-
-    remix_text = F.concat_ws(
-        " ",
-        F.concat(F.lit("noisehead-"), F.col("doc_id").cast("string")),
-        F.array_join(
-            F.slice(words, _REMIX_COPY_START, _REMIX_COPY_LEN), " "
-        ),
-        F.concat(F.lit("noisetail-"), F.col("doc_id").cast("string")),
-    )
-    remix = d.filter(
-        (F.col("doc_id") % _REMIX_MOD == _REMIX_RESIDUE)
-        & (F.size(words) >= _REMIX_MIN_WORDS)
-    ).select((F.col("doc_id") + F.lit(off)).alias("doc_id"), remix_text.alias("text"))
-
-    corpus = (
-        d.select("doc_id", "text")
-        .unionByName(remix)
-        .filter(F.size(words) >= SUBSTR_K)
-    )
-    # row-local gram hashing BEFORE the explode: only 8-byte digests
-    # ever leave the row
-    gram_hashes = F.transform(
-        F.sequence(F.lit(0), F.size(words) - SUBSTR_K),
-        lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, SUBSTR_K), " ")),
-    )
-    grams = corpus.select(
-        "doc_id",
-        (F.size(words) - (SUBSTR_K - 1)).cast("long").alias("n_grams"),
-        F.posexplode(gram_hashes).alias("pos", "gh"),
-    )
-
-    dupg = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gh")
-    )
-    shared = grams.join(dupg, "gh", "left_semi")
+    _meta, shared = _substring_tables(spark, sf_dir)
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = shared.withColumn("isle", F.col("pos") - F.row_number().over(w))
@@ -740,4 +767,125 @@ def dedup_substring(spark, sf_dir):
         F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
         F.col("max_run_grams").cast("long").alias("max_run_grams"),
         (F.col("max_run_grams") + (SUBSTR_K - 1)).cast("long").alias("dup_tokens"),
+    )
+
+
+@register(
+    "dedup_substring_trim",
+    oracle=f"""
+    WITH {_SUBSTR_CTES}
+    , spans AS (
+      SELECT doc_id, pos AS tok_start, pos + {SUBSTR_K - 1} AS tok_end
+      FROM shared
+    ), ordered AS (
+      SELECT doc_id, tok_start, tok_end,
+             max(tok_end) OVER (
+               PARTITION BY doc_id ORDER BY tok_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM spans
+    ), marked AS (
+      SELECT doc_id, tok_start, tok_end,
+             CASE WHEN prev_max IS NULL OR tok_start > prev_max + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), grp AS (
+      SELECT doc_id, tok_start, tok_end,
+             sum(is_new) OVER (
+               PARTITION BY doc_id ORDER BY tok_start
+             ) AS grp_id
+      FROM marked
+    ), ivals AS (
+      SELECT doc_id, min(tok_start) AS s, max(tok_end) AS e
+      FROM grp GROUP BY doc_id, grp_id
+    ), per_doc AS (
+      SELECT doc_id, sum(e - s + 1) AS removed, count(*) AS n_spans
+      FROM ivals GROUP BY doc_id
+    )
+    SELECT c.source,
+           count(*)::BIGINT AS n_docs,
+           sum(len(c.ws))::BIGINT AS total_tokens,
+           sum(CASE WHEN p.removed IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS affected_docs,
+           coalesce(sum(p.n_spans), 0)::BIGINT AS removed_spans,
+           coalesce(sum(p.removed), 0)::BIGINT AS removed_tokens,
+           (sum(len(c.ws)) - coalesce(sum(p.removed), 0))::BIGINT
+             AS kept_tokens
+    FROM corpus c LEFT JOIN per_doc p USING (doc_id)
+    WHERE len(c.ws) >= {SUBSTR_K}
+    GROUP BY c.source
+    """,
+)
+def dedup_substring_trim(spark, sf_dir):
+    """The REMOVAL form of exact-substring dedup — what Lee et al.
+    2022 actually ship (§3: cut every duplicated substring out of the
+    training corpus, keeping the remainder): each shared K-token gram
+    covers token positions [pos, pos+K-1]; overlapping covers from
+    adjacent shared grams are merged by the classic interval-union
+    (running-max window marks each new island, a running sum numbers
+    them), and the per-source rollup reports how many tokens a trim
+    pass would delete vs keep. ``dedup_substring`` (above) is the
+    diagnostic twin (longest-run stats per affected doc); this is the
+    corpus-rewrite budget.
+
+    Scale (100 TB): identical digest-only dataflow to
+    dedup_substring — the interval-union needs only the (doc_id, pos)
+    scalars, never text; two windows per doc_id (running max + running
+    sum, O(1) state each); the final rollup left-joins per-doc token
+    counts (scalars) and ships six longs per source. The removed-token
+    count is exact for the union of covered positions, the same
+    quantity a rewrite pass would delete.
+    """
+    from pyspark.sql import Window
+
+    meta, shared = _substring_tables(spark, sf_dir)
+
+    spans = shared.select(
+        "doc_id",
+        F.col("pos").alias("tok_start"),
+        (F.col("pos") + (SUBSTR_K - 1)).alias("tok_end"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("tok_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("tok_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = spans.withColumn(
+        "is_new",
+        F.when(
+            F.col("tok_start")
+            > F.coalesce(
+                F.max("tok_end").over(w_prev), F.lit(-(SUBSTR_K + 2))
+            )
+            + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("grp_id", F.sum("is_new").over(w_cum))
+    ivals = marked.groupBy("doc_id", "grp_id").agg(
+        F.min("tok_start").alias("s"), F.max("tok_end").alias("e")
+    )
+    per_doc = ivals.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        meta.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.col("removed").isNotNull().cast("long")).alias(
+                "affected_docs"
+            ),
+            F.coalesce(F.sum("n_spans"), F.lit(0)).alias("removed_spans"),
+            F.coalesce(F.sum("removed"), F.lit(0)).alias("removed_tokens"),
+            (
+                F.sum("n_tok") - F.coalesce(F.sum("removed"), F.lit(0))
+            ).alias("kept_tokens"),
+        )
     )

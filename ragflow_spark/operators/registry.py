@@ -33,6 +33,7 @@ DRIVER_WINDOW = 50
 PRIORITY_HEAD = [
     # round-5 additions (never driver-checked)
     "dedup_substring",
+    "dedup_substring_trim",
     "pack_sequences_sharded",
     # changed in round 5 (broadcast/literal gates + derived offsets) —
     # must be re-verified by the driver this round

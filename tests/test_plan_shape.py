@@ -757,3 +757,18 @@ def test_pack_sequences_sharded_window_is_shard_partitioned(spark, sf_dir, ops):
         assert r["n_docs"] == g["n_docs"]
         assert r["total_tokens"] == g["total_tokens"]
         assert g["n_sequences"] <= r["n_sequences"] <= g["n_sequences"] + PACK_SHARDS
+
+
+def test_dedup_substring_trim_interval_union_ships_scalars(spark, sf_dir, ops):
+    """The trim form's interval-union (two per-doc windows: running
+    max + running sum) must ride on (doc_id, pos) scalars from the
+    same digest-only gram tables as dedup_substring: no text, no gram
+    strings, no arrays across any required Exchange."""
+    df = ops.QUERIES["dedup_substring_trim"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" in plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert crossing, "expected gram + window + rollup shuffles"
+    assert "text" not in crossing, crossing
+    assert "g" not in crossing, crossing
+    assert not arrays_crossing_exchanges(df)
