@@ -31,6 +31,8 @@ import statistics
 import subprocess
 import sys
 
+from bench_ambient import CALIB_EFF_DIRTY, STEAL_PCT_DIRTY
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPEAT = os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "96")
@@ -102,6 +104,16 @@ def main() -> None:
         "runs_per_level": RUNS,
         "pass_ge_0.8": eff >= 0.8,
     }
+    # ambient self-certification (bench_ambient.py, via each child
+    # bench.py run): the scaling claim is only as good as its bracket
+    all_runs = [r for c in LEVELS for r in results[c]]
+    summary["steal_pct_max"] = max(r.get("steal_pct", -1.0) for r in all_runs)
+    summary["calib_efficiency_min"] = min(
+        r.get("calib_efficiency", -1.0) for r in all_runs
+    )
+    summary["bracket_clean"] = all(
+        r.get("bracket_clean", False) for r in all_runs
+    )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # preserve every other section (skew, resume, per-query table,
@@ -152,6 +164,13 @@ fixed job overhead (scan planning + the final 2-row aggregate).
 
 Raw per-run walls (s): local[8] {[round(r["queries"]["extract"], 2) for r in results[8]]},
 local[32] {[round(r["queries"]["extract"], 2) for r in results[32]]}.
+
+Ambient bracket (bench_ambient.py, per child run — steal% over the
+timed section / pre-run spin-calibration efficiency):
+local[8] {[(r.get("steal_pct"), r.get("calib_efficiency")) for r in results[8]]},
+local[32] {[(r.get("steal_pct"), r.get("calib_efficiency")) for r in results[32]]};
+**bracket_clean = {summary["bracket_clean"]}** (every run under
+{STEAL_PCT_DIRTY}% steal with calibration >= {CALIB_EFF_DIRTY}).
 
 """
         )
