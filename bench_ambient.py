@@ -59,32 +59,32 @@ def _spin(n: int) -> int:
     return x
 
 
-def spin_calibration(cores: int, n: int = _SPIN_N) -> dict:
-    """Wall time of 1 spin process vs `cores` concurrent ones.
+def _timed_spin(n: int) -> float:
+    t0 = time.perf_counter()
+    _spin(n)
+    return time.perf_counter() - t0
 
-    On an idle box with >= cores physical CPUs the two are equal
-    (efficiency ~1.0); heavy co-tenant or hypervisor pressure shows
-    up as tN >> t1. Pure fork+spin: no Spark, no imports, ~1 s total.
+
+def spin_calibration(cores: int, n: int = _SPIN_N) -> dict:
+    """Spin wall time of 1 process vs the SLOWEST of `cores`
+    concurrent ones, each child timing its own spin — fork/join
+    overhead is excluded, so the ratio isolates CPU contention (on an
+    idle box with >= cores CPUs every child matches the solo run,
+    efficiency ~1.0; co-tenant or hypervisor pressure slows the
+    stragglers first). Pure fork+spin: no Spark, no imports, ~1 s.
     """
     import multiprocessing as mp
 
-    t0 = time.perf_counter()
-    _spin(n)
-    t1 = time.perf_counter() - t0
-
+    t1 = _timed_spin(n)
     ctx = mp.get_context("fork")
-    procs = [ctx.Process(target=_spin, args=(n,)) for _ in range(cores)]
-    t0 = time.perf_counter()
-    for p in procs:
-        p.start()
-    for p in procs:
-        p.join()
-    t_n = time.perf_counter() - t0
+    with ctx.Pool(cores) as pool:
+        durs = pool.map(_timed_spin, [n] * cores)
+    worst = max(durs)
     return {
         "t1_s": round(t1, 3),
-        "tN_s": round(t_n, 3),
+        "tN_s": round(worst, 3),
         "n_procs": cores,
-        "efficiency": round(t1 / t_n, 3) if t_n > 0 else 0.0,
+        "efficiency": round(t1 / worst, 3) if worst > 0 else 0.0,
     }
 
 
