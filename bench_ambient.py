@@ -66,25 +66,32 @@ def _timed_spin(n: int) -> float:
 
 
 def spin_calibration(cores: int, n: int = _SPIN_N) -> dict:
-    """Spin wall time of 1 process vs the SLOWEST of `cores`
-    concurrent ones, each child timing its own spin — fork/join
-    overhead is excluded, so the ratio isolates CPU contention (on an
-    idle box with >= cores CPUs every child matches the solo run,
-    efficiency ~1.0; co-tenant or hypervisor pressure slows the
-    stragglers first). Pure fork+spin: no Spark, no imports, ~1 s.
+    """Spin wall time of 1 process vs `cores` concurrent ones, each
+    child timing its own spin — fork/join overhead is excluded, so the
+    ratio isolates CPU contention. `efficiency` compares against the
+    MEDIAN child (how a many-task Spark stage experiences the box:
+    work spreads across slots, a single descheduled straggler is
+    amortized); `efficiency_worst` against the slowest child is
+    reported alongside (measured on this VM the two differ ~1.5x under
+    partial oversubscription — a subset of vCPUs contended). On an
+    idle box both are ~1.0. Pure fork+spin: no Spark, no imports, ~1 s.
     """
     import multiprocessing as mp
+    import statistics
 
     t1 = _timed_spin(n)
     ctx = mp.get_context("fork")
     with ctx.Pool(cores) as pool:
         durs = pool.map(_timed_spin, [n] * cores)
+    med = statistics.median(durs)
     worst = max(durs)
     return {
         "t1_s": round(t1, 3),
-        "tN_s": round(worst, 3),
+        "tN_s": round(med, 3),
+        "worst_s": round(worst, 3),
         "n_procs": cores,
-        "efficiency": round(t1 / worst, 3) if worst > 0 else 0.0,
+        "efficiency": round(t1 / med, 3) if med > 0 else 0.0,
+        "efficiency_worst": round(t1 / worst, 3) if worst > 0 else 0.0,
     }
 
 
