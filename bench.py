@@ -11,10 +11,14 @@ Runs the flagship extraction pipeline plus headline registry queries at
      "steal_pct": ..., "calib_efficiency": ..., "bracket_clean": bool}
 
 Every run self-certifies its ambient bracket (bench_ambient.py):
-/proc/stat steal percentage over the timed section plus a pre-run
-N-way spin calibration. When the bracket is dirty, >1.5x baseline
-excursions are reported under `regressions_unattributable` instead of
-`regressions` — raw walls are kept, attribution is suppressed.
+/proc/stat steal percentage over the timed section, N-way spin
+calibrations BEFORE AND AFTER (windows close mid-run on this VM with
+zero steal accounting), and — when committed baselines apply — the
+board-median ratio (no code change slows 50+ diverse plans uniformly;
+a board-wide shift is the host). When any signal is dirty, >1.5x
+baseline excursions are reported under `regressions_unattributable`
+instead of `regressions` — raw walls are kept, attribution is
+suppressed.
 
 The extraction input is a deterministic pages table synthesized once
 from the driver's ``documents.parquet`` (sources/pages.py) and cached
@@ -33,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -235,10 +240,16 @@ def main() -> None:
                 walls.append(time.perf_counter() - t0)
             timings[name] = round(min(walls), 3)
 
-    # ambient bracket, part 2: steal over the whole timed section
+    # ambient bracket, part 2: steal over the whole timed section plus
+    # a SECOND spin calibration — measured on this VM, a window that
+    # was clean at start can close mid-run with zero steal accounting
+    # (host oversubscription), so the verdict takes the worse of the
+    # two calibrations
     ticks_end = read_cpu_ticks()
     run_steal = steal_pct(ticks_start, ticks_end)
-    clean = bracket_verdict(run_steal, calib["efficiency"])
+    calib_after = spin_calibration(cores)
+    calib_eff = min(calib["efficiency"], calib_after["efficiency"])
+    clean = bracket_verdict(run_steal, calib_eff)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -263,8 +274,11 @@ def main() -> None:
     # ambient self-certification: a dirty bracket means walls in this
     # line measure the host's hour, not the code (see bench_ambient.py)
     result["steal_pct"] = run_steal
-    result["calib_efficiency"] = calib["efficiency"]
-    result["bracket_clean"] = clean
+    result["calib_efficiency"] = calib_eff
+    result["calib_before_after"] = [
+        calib["efficiency"],
+        calib_after["efficiency"],
+    ]
     if fat_stats:
         result["fat_pages"] = {
             "text_tile": fat,
@@ -287,6 +301,18 @@ def main() -> None:
         # past the driver's tail-capture window and parsed as null —
         # stdout carries just the headline + the regression names
         full["baseline_ratios"] = ratios
+        # third ambient signal: the BOARD ratio. A code change moves
+        # specific queries; no single change slows 50+ diverse plans
+        # uniformly — a board-wide shift vs the committed mins is the
+        # host running in a slow mode the CPU probes missed (measured
+        # here: a bracket that read clean at both ends while every
+        # query ran ~1.4x). Attribution is suppressed in that state.
+        board = (
+            statistics.median(ratios.values()) if len(ratios) >= 10 else None
+        )
+        if board is not None:
+            result["board_ratio_median"] = full["board_ratio_median"] = board
+            clean = clean and board <= 1.3
         over = sorted(k for k, r in ratios.items() if r > 1.5)
         if clean:
             result["regressions"] = full["regressions"] = over
@@ -298,6 +324,7 @@ def main() -> None:
             result["regressions"] = full["regressions"] = []
             result["regressions_unattributable"] = over
             full["regressions_unattributable"] = over
+    result["bracket_clean"] = full["bracket_clean"] = clean
     os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
     with open(os.path.join(REPO, ".bench", "last_bench.json"), "w") as f:
         json.dump(full, f, indent=1)
