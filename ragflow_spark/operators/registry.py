@@ -35,6 +35,7 @@ PRIORITY_HEAD = [
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",
+    "quality_resample",
     # changed in round 5 (broadcast/literal gates + derived offsets) —
     # must be re-verified by the driver this round
     "training_corpus_manifest",

@@ -421,6 +421,50 @@ def pack_sequences_sharded(spark, sf_dir):
 # lm_quality_stats
 # --------------------------------------------------------------------------
 
+def _xent_scored(spark, sf_dir):
+    """(documents frame, per-doc xent Column) for the unigram LM
+    scorers: pass 1 reduces the corpus to the top-V word->bits map (a
+    map-side-combined word count + bounded V-row driver collect, the
+    IVF-centroid pattern), pass 2 is the returned row-local Column —
+    an F.aggregate over the words against the literal map, OOV words
+    costing ``-log2(0.5/total)`` bits, rounded to 4 decimals per the
+    registry contract. Shared by lm_quality_stats (the flag rollup)
+    and quality_resample (the bucketed sampler)."""
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    words_col = F.split(F.col("text"), " ")
+
+    # corpus total = sum of per-doc word counts: map-side, no explode,
+    # no shuffle — running the explode+groupBy twice (once for the
+    # total, once for the vocab) would double pass-1's shuffle for a
+    # number the scan can produce directly
+    total = d.agg(
+        F.sum(F.size(words_col).cast("long")).alias("t")
+    ).collect()[0]["t"]
+    counts = (
+        d.select(F.explode(words_col).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = counts.orderBy(F.desc("c"), F.asc("word")).limit(LM_VOCAB_TOP).collect()
+    bits = {
+        r["word"]: round(-math.log2(r["c"] / float(total)), 6) for r in vocab
+    }
+    oov_bits = round(-math.log2(0.5 / float(total)), 6)
+
+    bits_map = F.create_map(
+        *[x for wrd, b in sorted(bits.items()) for x in (F.lit(wrd), F.lit(b))]
+    )
+    nw = F.size(words_col)
+    acc = F.aggregate(
+        words_col,
+        F.lit(0.0),
+        lambda s, wrd: s
+        + F.coalesce(F.element_at(bits_map, wrd), F.lit(oov_bits)),
+    )
+    return d, F.round(acc / nw, 4)
+
+
+
 @register(
     "lm_quality_stats",
     oracle=f"""
@@ -462,38 +506,7 @@ def lm_quality_stats(spark, sf_dir):
     module docstring); per-doc scores round to 4 per the registry
     contract.
     """
-    d = spread(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    words_col = F.split(F.col("text"), " ")
-
-    # corpus total = sum of per-doc word counts: map-side, no explode,
-    # no shuffle — running the explode+groupBy twice (once for the
-    # total, once for the vocab) would double pass-1's shuffle for a
-    # number the scan can produce directly
-    total = d.agg(
-        F.sum(F.size(words_col).cast("long")).alias("t")
-    ).collect()[0]["t"]
-    counts = (
-        d.select(F.explode(words_col).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    vocab = counts.orderBy(F.desc("c"), F.asc("word")).limit(LM_VOCAB_TOP).collect()
-    bits = {
-        r["word"]: round(-math.log2(r["c"] / float(total)), 6) for r in vocab
-    }
-    oov_bits = round(-math.log2(0.5 / float(total)), 6)
-
-    bits_map = F.create_map(
-        *[x for wrd, b in sorted(bits.items()) for x in (F.lit(wrd), F.lit(b))]
-    )
-    nw = F.size(words_col)
-    acc = F.aggregate(
-        words_col,
-        F.lit(0.0),
-        lambda s, wrd: s
-        + F.coalesce(F.element_at(bits_map, wrd), F.lit(oov_bits)),
-    )
-    xent = F.round(acc / nw, 4)
+    d, xent = _xent_scored(spark, sf_dir)
     return (
         d.select("source", xent.alias("xent"))
         .groupBy("source")
@@ -503,6 +516,124 @@ def lm_quality_stats(spark, sf_dir):
             F.sum((F.col("xent") > LM_XENT_FLAG_BITS).cast("long")).alias(
                 "flagged_low_quality"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_resample
+# --------------------------------------------------------------------------
+
+# Quality-aware importance resampling (the DSIR/CCNet "keep more of the
+# good tail" shape, Xie et al. 2023 / Wenzek et al. 2020 §4.4): docs are
+# bucketed by unigram cross-entropy and sampled at a per-bucket rate
+# that upweights low-perplexity text. Fixed bucket edges over the
+# measured corpus xent range (~6.8..13.2 bits at V=16) and md5-prefix
+# keep thresholds (the stratified_sample mechanism: first 2 hex chars
+# of md5("qr:" || doc_id) under the bucket's threshold; "zz" keeps all,
+# "cc" ~0.80, "80" = 0.50, "1a" ~0.10) — deterministic and
+# partition-invariant on both engines.
+QR_EDGES = (9.0, 10.2, 11.0)
+QR_KEEP_HEX = ("zz", "cc", "80", "1a")
+
+
+@register(
+    "quality_resample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), cnt AS (
+      SELECT word, count(*) AS c FROM w GROUP BY word
+    ), tot AS (
+      SELECT sum(c)::DOUBLE AS t FROM cnt
+    ), vocab AS (
+      SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {LM_VOCAB_TOP}
+    ), scored AS (
+      SELECT w.doc_id, w.source,
+             round(-log2(coalesce(v.c / tot.t, 0.5 / tot.t)), 6) AS bits
+      FROM w CROSS JOIN tot LEFT JOIN vocab v ON w.word = v.word
+    ), per_doc AS (
+      SELECT doc_id, source, round(avg(bits), 4) AS xent,
+             count(*) AS nt
+      FROM scored GROUP BY doc_id, source
+    ), b AS (
+      SELECT doc_id, source, nt,
+             CASE WHEN xent < {QR_EDGES[0]} THEN 0
+                  WHEN xent < {QR_EDGES[1]} THEN 1
+                  WHEN xent < {QR_EDGES[2]} THEN 2
+                  ELSE 3 END AS bucket
+      FROM per_doc
+    ), k AS (
+      SELECT source, bucket, nt,
+             substring(md5('qr:' || doc_id), 1, 2) <
+               CASE bucket WHEN 0 THEN '{QR_KEEP_HEX[0]}'
+                           WHEN 1 THEN '{QR_KEEP_HEX[1]}'
+                           WHEN 2 THEN '{QR_KEEP_HEX[2]}'
+                           ELSE '{QR_KEEP_HEX[3]}' END AS keep
+      FROM b
+    )
+    SELECT source, bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN keep THEN nt ELSE 0 END)::BIGINT AS kept_tokens
+    FROM k GROUP BY source, bucket
+    """,
+)
+def quality_resample(spark, sf_dir):
+    """Quality-aware importance resampling — the sampling step a
+    CCNet/DSIR-style pipeline runs AFTER quality scoring (Wenzek et
+    al. 2020 §4.4 keep the low-perplexity head/middle; Xie et al.
+    2023 resample toward a target distribution): bucket every doc by
+    its unigram cross-entropy (the lm_quality_stats scorer, shared
+    via _xent_scored) and keep a deterministic per-bucket fraction —
+    1.0 / ~0.8 / 0.5 / ~0.1 from the lowest-perplexity bucket to the
+    OOV-heavy tail. Per (source, bucket): docs, kept docs, kept
+    tokens — the resampled token budget per quality tier.
+
+    Scale (100 TB): pass 1 is the shared bounded vocab reduction;
+    everything after is row-local (xent aggregate over the words
+    against the literal map, bucket CASE, md5-prefix keep — the
+    stratified_sample mechanism, partition-invariant) and the only
+    required Exchange is the (source, bucket) rollup of three longs.
+    """
+    d, xent = _xent_scored(spark, sf_dir)
+    words_col = F.split(F.col("text"), " ")
+
+    bucket = (
+        F.when(xent < QR_EDGES[0], F.lit(0))
+        .when(xent < QR_EDGES[1], F.lit(1))
+        .when(xent < QR_EDGES[2], F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    thresh = (
+        F.when(bucket == 0, F.lit(QR_KEEP_HEX[0]))
+        .when(bucket == 1, F.lit(QR_KEEP_HEX[1]))
+        .when(bucket == 2, F.lit(QR_KEEP_HEX[2]))
+        .otherwise(F.lit(QR_KEEP_HEX[3]))
+    )
+    keep = (
+        F.substring(
+            F.md5(F.concat(F.lit("qr:"), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+        < thresh
+    )
+    return (
+        d.select(
+            "source",
+            bucket.alias("bucket"),
+            F.size(words_col).cast("long").alias("nt"),
+            keep.alias("keep"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep"), F.col("nt")).otherwise(F.lit(0))
+            ).alias("kept_tokens"),
         )
     )
 

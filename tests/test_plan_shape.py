@@ -772,3 +772,18 @@ def test_dedup_substring_trim_interval_union_ships_scalars(spark, sf_dir, ops):
     assert "text" not in crossing, crossing
     assert "g" not in crossing, crossing
     assert not arrays_crossing_exchanges(df)
+
+
+def test_quality_resample_scoring_is_map_side(spark, sf_dir, ops):
+    """Like lm_quality_stats' scoring pass (the shared _xent_scored
+    helper): bucket assignment and the md5-prefix keep are row-local —
+    no join, no window, no explode in the returned plan; the only
+    required Exchange is the (source, bucket) rollup of three longs."""
+    df = ops.QUERIES["quality_resample"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "text" not in crossing, crossing
+    assert "word" not in crossing, crossing
