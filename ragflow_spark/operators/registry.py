@@ -32,6 +32,7 @@ DRIVER_WINDOW = 50
 # green in r4 may sit out one round.
 PRIORITY_HEAD = [
     # round-5 additions (never driver-checked)
+    "semdedup",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

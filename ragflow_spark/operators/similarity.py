@@ -968,3 +968,132 @@ def ann_ivf_topk_bigk(spark, sf_dir):
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ------------------------------------------------------------ SemDeDup
+
+SEMDEDUP_TAU = 0.4  # within-cluster cosine above this = semantic dup
+
+_SEMDEDUP_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = {IVF_CENTROID_PICK}
+    ), assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos('e.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
+      WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+    )
+    SELECT a.cent_id,
+           count(*)::BIGINT AS n_vecs,
+           sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_dropped,
+           (count(*) - sum(CASE WHEN d.vec_id IS NOT NULL
+                                THEN 1 ELSE 0 END))::BIGINT AS n_kept,
+           round(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS drop_frac
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    GROUP BY a.cent_id
+    """
+
+
+@register("semdedup", oracle=_SEMDEDUP_ORACLE)
+def semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning in embedding space — cluster the corpus
+    with the deterministic IVF coarse quantizer (same centroids and
+    assignment as `ann_ivf_topk`, shared oracle CTE), then inside each
+    cluster mark every vector whose cosine to a LOWER-id cluster-mate
+    is >= {SEMDEDUP_TAU} as a semantic dup (keep-first on vec_id — a
+    deterministic stand-in for the paper's keep-farthest-from-centroid
+    rule). Output is the per-cluster prune manifest: cluster size,
+    kept/dropped counts, drop fraction.
+
+    Scale shape: cell assignment is the ROW-LOCAL literal-argmax (no
+    Exchange — see `_ivf_assign_sql`); the pairwise check is a
+    self-join keyed on cent_id, so each embedding crosses exactly ONE
+    Exchange per join side, and the pair space is sum(|cell|^2) — the
+    quantizer keeps cells at ~IVF_CENTROID_STRIDE vectors no matter
+    the corpus size (k grows with n), so pairs scale LINEARLY with n,
+    not n^2. The dropped set is id-only before the rollup join. At
+    10^12 docs the per-cluster pairwise would run as a blocked numpy
+    kernel inside applyInPandas per cent_id — same plan shape, one
+    Exchange. Unlike `neardup_embedding` (sign-LSH recall buckets +
+    exact verify), SemDeDup partitions the space ONCE and prunes
+    inside cells: no multi-band explosion, deterministic cluster
+    manifest as the artifact."""
+    cents = _collect_centroids(spark, sf_dir)
+    e = spread(table(spark, sf_dir, "embeddings"))
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_ivf_assign_sql(cents)).alias("cent_id"),
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda p: p.cast("double") * p.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    a = assigned.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        "cent_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("cent_id").alias("cent_b"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cent_id") == F.col("cent_b"))
+            & (F.col("vb") < F.col("va")),
+        )
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cent_id")
+        .join(dropped, "vec_id", "left")
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce("_dropped", F.lit(0))).alias("n_dropped"),
+            (
+                F.count(F.lit(1)) - F.sum(F.coalesce("_dropped", F.lit(0)))
+            ).alias("n_kept"),
+            F.round(
+                F.sum(F.coalesce("_dropped", F.lit(0)))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("drop_frac"),
+        )
+    )

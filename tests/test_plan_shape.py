@@ -787,3 +787,16 @@ def test_quality_resample_scoring_is_map_side(spark, sf_dir, ops):
     crossing = _attrs_crossing_required_exchanges(df)
     assert "text" not in crossing, crossing
     assert "word" not in crossing, crossing
+
+
+def test_semdedup_assignment_row_local_pairs_bounded(spark, sf_dir, ops):
+    """SemDeDup's cell assignment must be the row-local literal argmax
+    (no Window, no assignment Exchange); embeddings may cross an
+    Exchange ONLY as the two sides of the within-cluster pair join
+    (<= 2 array-carrying Exchanges), and the dropped-id set plus the
+    rollup must ship ids only."""
+    df = ops.QUERIES["semdedup"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan, "assignment regressed to a window"
+    offending = arrays_crossing_exchanges(df)
+    assert len(offending) <= 2, offending
