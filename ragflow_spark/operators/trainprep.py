@@ -990,3 +990,100 @@ def training_corpus_manifest(spark, sf_dir):
             F.when(F.col("verdict") == "kept", F.col("nt")).otherwise(F.lit(0))
         ).alias("kept_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# classifier_filter_stats
+# --------------------------------------------------------------------------
+
+# hashed-linear classifier: feature-hash buckets and the milli-weight
+# span (weights are INTEGERS in [-1000, 1000] so per-doc scores
+# accumulate exactly — no float-summation-order drift between engines).
+CLS_DIM = 64
+CLS_WEIGHT_SPAN = 2001
+
+
+def _cls_weights() -> list[int]:
+    """Deterministic md5-derived milli-weight table, one int per hash
+    bucket — the stand-in for trained classifier weights, derived the
+    same way the LSH hyperplanes are so the DuckDB oracle can rebuild
+    it from the same arithmetic."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w#{i}".encode()).hexdigest()[:6], 16)
+        % CLS_WEIGHT_SPAN
+        - 1000
+        for i in range(CLS_DIM)
+    ]
+
+
+def _cls_oracle() -> str:
+    w = ", ".join(str(x) for x in _cls_weights())
+    return f"""
+    WITH wt AS (SELECT [{w}]::BIGINT[] AS w), toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ), scored AS (
+      SELECT doc_id, source, len(ws) AS nt,
+             list_sum(list_transform(ws, t ->
+               w[('0x' || substring(md5(t), 1, 4))::BIGINT % {CLS_DIM} + 1]
+             ))::BIGINT AS sm
+      FROM toks CROSS JOIN wt
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN sm >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+           round(sum(CASE WHEN sm >= 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS keep_rate,
+           round(sum(sm) * 1.0 / (1000 * sum(nt)), 4) AS avg_token_w
+    FROM scored GROUP BY source
+    """
+
+
+@register("classifier_filter_stats", oracle=_cls_oracle())
+def classifier_filter_stats(spark, sf_dir):
+    """Quality-classifier inference at corpus scale — the
+    fastText-shaped linear filter every modern pretraining pipeline
+    runs (fastText: Joulin et al. 2017, EACL; used as the
+    quality/page-rank filter in GPT-3 Appendix A and LLaMA §2.1):
+    tokens are feature-HASHED into {CLS_DIM} buckets (hashing trick,
+    Weinberger et al. 2009) and scored against a fixed weight vector;
+    a document is kept when its summed weight is >= 0. Weights here
+    are the md5-derived deterministic stand-in for trained
+    parameters; the dataflow is exactly what serving a real linear
+    classifier looks like.
+
+    Scale shape: the weight table is a 64-int ROW CONSTANT (on a
+    cluster: a broadcast variable; a real 2M-bucket fastText table
+    ships the same way) evaluated once per row, token scoring is a
+    row-local transform/aggregate over the token array — integer
+    milli-weights, so the per-doc sum is EXACT and the only doubles
+    are the two final rollup ratios — and the single Exchange carries
+    (source, int-partials): map-side combined, no text, no per-token
+    rows. Inference over 10^12 docs is embarrassingly parallel."""
+    w_lit = "array(" + ", ".join(f"{x}L" for x in _cls_weights()) + ")"
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", F.split("text", " ").alias("tk"))
+        .withColumn("wt", F.expr(w_lit))
+    )
+    sm = F.expr(
+        "aggregate(transform(tk, t -> "
+        f"wt[cast(conv(substring(md5(t), 1, 4), 16, 10) as int) % {CLS_DIM}]"
+        "), 0L, (a, x) -> a + x)"
+    )
+    scored = d.select(
+        "source", F.size("tk").alias("nt"), sm.alias("sm")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("sm") >= 0).cast("long")).alias("n_keep"),
+        F.round(
+            F.sum((F.col("sm") >= 0).cast("long")) * F.lit(1.0)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("keep_rate"),
+        F.round(
+            F.sum("sm") * F.lit(1.0) / (F.lit(1000) * F.sum("nt")), 4
+        ).alias("avg_token_w"),
+    )

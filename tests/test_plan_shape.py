@@ -800,3 +800,17 @@ def test_semdedup_assignment_row_local_pairs_bounded(spark, sf_dir, ops):
     assert "Window" not in plan, "assignment regressed to a window"
     offending = arrays_crossing_exchanges(df)
     assert len(offending) <= 2, offending
+
+
+def test_classifier_filter_is_single_rollup(spark, sf_dir, ops):
+    """Classifier inference must be row-local scoring + exactly one
+    rollup Exchange carrying integer partials: no join, no window, no
+    per-token explode, and no token array crossing any Exchange."""
+    df = ops.QUERIES["classifier_filter_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending
