@@ -876,3 +876,76 @@ def cdx_fetch_plan(spark, sf_dir):
         F.min("ts14").alias("ts_first"),
         F.max("ts14").alias("ts_last"),
     )
+
+
+# --------------------------------------------------------------------------
+# ngram_heavy_hitters
+# --------------------------------------------------------------------------
+
+HH_TOP_K = 25
+
+
+def bigram_stream(docs):
+    """(doc_id, gram) rows: word bigrams of lower(text) — the shared
+    gram stream for the exact heavy-hitter plan and the count-min
+    twin (operators/countmin.py)."""
+    w = F.split(F.lower(F.col("text")), " ")
+    return docs.filter(F.size(w) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
+@register(
+    "ngram_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, w[i + 1] || ' ' || w[i + 2] AS gram
+      FROM toks, unnest(range(len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT gram,
+           count(*)::BIGINT AS n_occ,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM grams GROUP BY gram
+    ORDER BY n_occ DESC, gram LIMIT {HH_TOP_K}
+    """,
+)
+def ngram_heavy_hitters(spark, sf_dir):
+    """Corpus-level heavy hitters: exact top-{HH_TOP_K} word bigrams
+    by occurrence count, plus document frequency — the boilerplate
+    detector every crawl pipeline runs (C4's "three-sentence"
+    blocklist and RefinedWeb's repeated-template removal both start
+    from exactly this table: the most frequent n-grams ARE the
+    boilerplate).
+
+    Scale shape: two-phase exact counting — the explode is map-side,
+    the groupBy(gram) partial-aggregates BEFORE the shuffle (hash
+    partial combine collapses each task's gram multiset to one row
+    per distinct gram, so the Exchange carries (gram, count, doc-set
+    partial) at vocabulary cardinality, not token cardinality), and
+    the final top-k is TakeOrderedAndProject — a k-row heap merge per
+    partition, no global sort. The bounded-state 100 TB variant is a
+    count-min sketch over the same gram stream (differentially tested
+    against these exact counts in tests/test_corpus_ops.py): CMS
+    trades the vocabulary-sized shuffle for a fixed w*d integer grid
+    per executor at the cost of one-sided overestimate error."""
+    grams = bigram_stream(spread(table(spark, sf_dir, "documents")))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("gram"))
+        .limit(HH_TOP_K)
+    )

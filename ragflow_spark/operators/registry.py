@@ -33,6 +33,9 @@ DRIVER_WINDOW = 50
 PRIORITY_HEAD = [
     # round-5 additions (never driver-checked)
     "semdedup",
+    "classifier_filter_stats",
+    "minhash_decontaminate",
+    "ngram_heavy_hitters",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

@@ -1087,3 +1087,217 @@ def classifier_filter_stats(spark, sf_dir):
             F.sum("sm") * F.lit(1.0) / (F.lit(1000) * F.sum("nt")), 4
         ).alias("avg_token_w"),
     )
+
+
+# --------------------------------------------------------------------------
+# minhash_decontaminate
+# --------------------------------------------------------------------------
+
+# fuzzy decontamination: flag a training doc when its estimated
+# Jaccard vs ANY eval doc is >= MINHASH_DECONTAM_MIN/N_HASHES (4/8 ->
+# ~0.5) — the near-verbatim-leak case exact n-gram matching misses
+# when the copy drifted (tokenization, elisions, boilerplate edits).
+MINHASH_DECONTAM_MIN = 4
+
+
+def _mh_decon_oracle() -> str:
+    from ragflow_spark.operators.dedup import (
+        _DUCK_SHINGLES,
+        _duck_bands_union,
+        _duck_sig_cols,
+    )
+
+    slice_eq = " + ".join(
+        f"CASE WHEN s.h{k} = t.h{k} THEN 1 ELSE 0 END" for k in range(8)
+    )
+    return f"""
+    WITH base0 AS (
+      SELECT doc_id, source, str_split(lower(text), ' ') AS w0
+      FROM documents
+    ), bench AS (
+      SELECT doc_id AS eval_id, w0 AS ew,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM base0 WHERE doc_id % {EVAL_DOC_MOD} = 0
+    ), nb AS (SELECT count(*) AS n FROM bench),
+    enriched AS (
+      SELECT b.doc_id, b.source,
+             CASE WHEN b.doc_id % {VICTIM_MOD} = {VICTIM_RESIDUE}
+                       AND b.doc_id % {EVAL_DOC_MOD} != 0
+                       AND bg.ew IS NOT NULL
+                  THEN list_concat(b.w0[1:1], bg.ew)
+                  ELSE b.w0 END AS w
+      FROM base0 b
+      CROSS JOIN nb
+      LEFT JOIN bench bg ON bg.rn = (b.doc_id % greatest(nb.n, 1)) + 1
+    ), sh_t AS (
+      SELECT doc_id, source, {_DUCK_SHINGLES} AS sh
+      FROM enriched WHERE len(w) >= 3
+    ), dig AS (
+      SELECT doc_id, source,
+             list_transform(sh, s -> md5(s) || md5(s || '#2')) AS hs
+      FROM sh_t
+    ), sig AS (
+      SELECT doc_id, source, {_duck_sig_cols()} FROM dig
+    ), bands AS ({_duck_bands_union()}),
+    cand AS (
+      SELECT DISTINCT b.doc_id, e.doc_id AS eval_id
+      FROM bands b
+      JOIN bands e ON b.band = e.band AND b.bucket = e.bucket
+                   AND e.doc_id % {EVAL_DOC_MOD} = 0
+                   AND b.doc_id != e.doc_id
+    ), m AS (
+      SELECT c.doc_id, s.source, ({slice_eq}) AS nm
+      FROM cand c
+      JOIN sig s ON c.doc_id = s.doc_id
+      JOIN sig t ON c.eval_id = t.doc_id
+    ), flagged AS (
+      SELECT DISTINCT doc_id, source FROM m
+      WHERE nm >= {MINHASH_DECONTAM_MIN}
+    ), tot AS (
+      SELECT source, count(*) AS n_docs FROM enriched GROUP BY source
+    ), fc AS (
+      SELECT source, count(*) AS n_flagged FROM flagged GROUP BY source
+    )
+    SELECT t.source, t.n_docs::BIGINT AS n_docs,
+           coalesce(fc.n_flagged, 0)::BIGINT AS n_flagged,
+           round(coalesce(fc.n_flagged, 0) * 1.0 / t.n_docs, 4)
+             AS flag_rate
+    FROM tot t LEFT JOIN fc ON t.source = fc.source
+    """
+
+
+def _shingles_from_words(ws):
+    """3-word shingles over an already-split word array (the dedup
+    module's shingle helper splits raw text; the enriched victim rows
+    here are arrays)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+            F.element_at(ws, i + 3),
+        ),
+    )
+
+
+@register("minhash_decontaminate", oracle=_mh_decon_oracle())
+def minhash_decontaminate(spark, sf_dir):
+    """FUZZY benchmark decontamination — the minhash complement to
+    `decontaminate_stats`' exact 8-gram membership test: a training
+    doc is flagged when >= {MINHASH_DECONTAM_MIN} of its 8 minhash
+    slices agree with an eval doc's (estimated Jaccard >= 0.5),
+    catching near-verbatim eval leaks that drifted past exact n-gram
+    equality (GPT-3 App. C dedups eval overlap at the document level;
+    Gao et al. 2020 (The Pile §6.2) document the fuzzy-overlap
+    variant). Victims (``doc_id % {VICTIM_MOD} == {VICTIM_RESIDUE}``,
+    eval docs excluded) are planted as near-copies — one original
+    word prepended to a round-robin eval doc's words — so the flag
+    set is real cross-document fuzzy overlap, not self-matches.
+
+    Scale shape: signatures reuse the dedup module's shingle->digest->
+    slice kernel (row-local, zero UDF); candidate pairs come from the
+    banded-LSH (band, bucket) equi-join against the EVAL band table —
+    eval suites are fixed-size, so that side broadcasts and the
+    training side never shuffles for candidacy; only candidate
+    (doc_id, eval_id) id pairs + 8 fixed-width slice columns cross an
+    Exchange for the agreement count; text and shingle arrays never
+    do. Verification cost is |candidates| * 8 string equals, not a
+    text re-scan."""
+    from ragflow_spark.operators.dedup import (
+        _explode_bands,
+        _spark_minhash_slice,
+        _spark_shingle_digests,
+    )
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("w0")
+    )
+    bench_rows = (
+        d.filter(F.col("doc_id") % EVAL_DOC_MOD == 0)
+        .select("doc_id", "w0")
+        .orderBy("doc_id")
+        .collect()
+    )
+    n_bench = max(len(bench_rows), 1)
+    bench_rn = spark.createDataFrame(
+        [(i + 1, list(r["w0"])) for i, r in enumerate(bench_rows)]
+        or [(1, None)],
+        "rn int, ew array<string>",
+    )
+    is_victim = (F.col("doc_id") % VICTIM_MOD == VICTIM_RESIDUE) & (
+        F.col("doc_id") % EVAL_DOC_MOD != 0
+    )
+    enriched = (
+        d.join(
+            F.broadcast(bench_rn),
+            (F.col("doc_id") % n_bench + 1).cast("int") == F.col("rn"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                is_victim & F.col("ew").isNotNull(),
+                F.concat(F.slice("w0", 1, 1), F.col("ew")),
+            )
+            .otherwise(F.col("w0"))
+            .alias("w"),
+        )
+    )
+    sig = (
+        enriched.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            _spark_shingle_digests(_shingles_from_words(F.col("w"))).alias(
+                "hs"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            *[
+                _spark_minhash_slice(F.col("hs"), k).alias(f"h{k}")
+                for k in range(8)
+            ],
+        )
+    )
+    bands = _explode_bands(sig)
+    ebands = bands.filter(F.col("doc_id") % EVAL_DOC_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "band", "bucket"
+    )
+    cand = (
+        bands.join(
+            F.broadcast(ebands),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_id") != F.col("eval_id"))
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    esig = sig.select(
+        F.col("doc_id").alias("eval_id"),
+        *[F.col(f"h{k}").alias(f"e{k}") for k in range(8)],
+    )
+    nm = sum(
+        (F.col(f"h{k}") == F.col(f"e{k}")).cast("int") for k in range(8)
+    )
+    flagged = (
+        cand.join(sig, "doc_id")
+        .join(F.broadcast(esig.filter(F.col("eval_id") % EVAL_DOC_MOD == 0)), "eval_id")
+        .filter(nm >= MINHASH_DECONTAM_MIN)
+        .select("doc_id", "source")
+        .distinct()
+    )
+    tot = enriched.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    fc = flagged.groupBy("source").agg(F.count(F.lit(1)).alias("n_flagged"))
+    return tot.join(fc, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+        F.round(
+            F.coalesce("n_flagged", F.lit(0)) * F.lit(1.0) / F.col("n_docs"),
+            4,
+        ).alias("flag_rate"),
+    )

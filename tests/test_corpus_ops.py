@@ -178,3 +178,54 @@ def test_pack_sequences_shard_local_form(spark, sf_dir):
         assert r["total_tokens"] == g["total_tokens"]
         # shard-local packing can only ADD ragged-tail padding
         assert r["n_sequences"] >= g["n_sequences"]
+
+
+# ----------------------------------------------------- count-min sketch
+
+
+def test_cms_overestimates_within_bound(spark, sf_dir):
+    """Differential check of the bounded-state heavy-hitter twin: for
+    every gram the exact operator surfaces, the CMS estimate must be
+    >= the true count (one-sided guarantee holds ALWAYS) and within
+    the paper's e/w * N overestimate bound (probabilistic over the
+    hash draw, deterministic here since md5 + fixed data)."""
+    from ragflow_spark.operators.corpus import bigram_stream
+    from ragflow_spark.operators.countmin import (
+        build_cms,
+        cms_error_bound,
+        cms_estimate,
+    )
+    from ragflow_spark.operators.registry import spread, table
+
+    grams = bigram_stream(spread(table(spark, sf_dir, "documents")))
+    grid = build_cms(grams, "gram")
+    exact = {
+        r["gram"]: r["n"]
+        for r in grams.groupBy("gram").count().withColumnRenamed("count", "n").collect()
+    }
+    assert int(grid[0].sum()) == sum(exact.values())  # every row sees N
+    bound = cms_error_bound(grid)
+    worst = 0
+    for g, n in exact.items():
+        est = cms_estimate(grid, g)
+        assert est >= n, (g, est, n)
+        worst = max(worst, est - n)
+    assert worst <= bound, (worst, bound)
+
+
+def test_cms_is_linear_and_partition_invariant(spark, sf_dir):
+    """sketch(A) + sketch(B) == sketch(A ∪ B) (the property that makes
+    the per-partition merge correct), and the merged grid must not
+    depend on input partitioning."""
+    from ragflow_spark.operators.corpus import bigram_stream
+    from ragflow_spark.operators.countmin import build_cms
+    from ragflow_spark.operators.registry import spread, table
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    grams = bigram_stream(docs)
+    full = build_cms(grams, "gram")
+    even = build_cms(bigram_stream(docs.filter("doc_id % 2 = 0")), "gram")
+    odd = build_cms(bigram_stream(docs.filter("doc_id % 2 = 1")), "gram")
+    assert (even + odd == full).all()
+    repartitioned = build_cms(grams.repartition(7), "gram")
+    assert (repartitioned == full).all()

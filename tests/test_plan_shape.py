@@ -814,3 +814,15 @@ def test_classifier_filter_is_single_rollup(spark, sf_dir, ops):
     assert "Generate" not in plan
     offending = arrays_crossing_exchanges(df)
     assert not offending, offending
+
+
+def test_minhash_decontaminate_broadcasts_eval_side(spark, sf_dir, ops):
+    """Fuzzy decontamination must broadcast the eval band/signature
+    sides (eval suites are fixed-size) and ship only id pairs + fixed
+    -width slice columns through non-broadcast Exchanges — no shingle
+    or word array may cross one."""
+    df = ops.QUERIES["minhash_decontaminate"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending
