@@ -36,6 +36,7 @@ PRIORITY_HEAD = [
     "classifier_filter_stats",
     "minhash_decontaminate",
     "ngram_heavy_hitters",
+    "ivf_kmeans_refine",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

@@ -1097,3 +1097,156 @@ def semdedup(spark, sf_dir):
             ).alias("drop_frac"),
         )
     )
+
+
+# ------------------------------------------------- IVF k-means refine
+
+KMEANS_ITERS = 2  # Lloyd update rounds over the deterministic seeds
+
+
+def _km_assign_cte(name: str, cents_cte: str) -> str:
+    """One Lloyd assignment round as a DuckDB CTE: nearest centroid by
+    cosine, cent_id ASC tie-break (the IVF assignment shape)."""
+    return f"""{name} AS (
+      SELECT vec_id, emb, cent_id FROM (
+        SELECT e.vec_id, e.emb, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                          c.cent_id
+               ) AS rn
+        FROM e, {cents_cte} c
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_cte(name: str, assign_cte: str) -> str:
+    """One Lloyd centroid update as a DuckDB CTE: per-dimension mean
+    SNAPPED to 6 decimals — the cross-engine determinism contract (sum
+    order differs between engines; the snap puts both on the same
+    double before the next discrete assignment)."""
+    return f"""{name} AS (
+      SELECT cent_id, list(cv ORDER BY pos) AS cvec FROM (
+        SELECT cent_id, i AS pos, round(avg(emb[i + 1]), 6) AS cv
+        FROM {assign_cte}, unnest(range(len(emb))) AS t(i)
+        GROUP BY cent_id, i
+      ) GROUP BY cent_id
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = {IVF_CENTROID_PICK}
+    ), {_km_assign_cte('a1', 'seeds')},
+    {_km_update_cte('c1', 'a1')},
+    {_km_assign_cte('a2', 'c1')},
+    {_km_update_cte('c2', 'a2')},
+    {_km_assign_cte('a3', 'c2')}
+    SELECT a.cent_id,
+           count(*)::BIGINT AS n_vecs,
+           round(avg(list_cosine_similarity(a.emb, c.cvec)), 4)
+             AS avg_cos,
+           round(min(list_cosine_similarity(s.cvec, c.cvec)), 4)
+             AS drift_cos
+    FROM a3 a
+    JOIN c2 c ON a.cent_id = c.cent_id
+    JOIN seeds s ON a.cent_id = s.cent_id
+    GROUP BY a.cent_id
+    """
+
+
+@register("ivf_kmeans_refine", oracle=_KMEANS_ORACLE)
+def ivf_kmeans_refine(spark, sf_dir):
+    """The IVF index-BUILD step the ANN family's docstrings defer to:
+    {KMEANS_ITERS} Lloyd iterations of spherical k-means (cosine
+    assignment, per-dimension mean update) over the deterministic
+    seeds, then the converged-cell manifest: cluster size, mean
+    within-cell cosine (cohesion), and seed->final centroid drift.
+
+    Scale shape, per iteration: assignment is the ROW-LOCAL literal
+    argmax (`_ivf_assign_sql` — no join, no vector shuffle); the
+    update shuffles map-side PARTIAL (cent_id, pos) sums — bounded by
+    partitions x k x d, never raw vectors (the label_centroid idiom)
+    — and collects the k x d centroid matrix to the driver (the
+    bounded-manifest pattern; at real IVF k the collect is k rows of
+    d doubles, e.g. 2^16 x 64 = 32 MB). Each round's centroids are
+    re-embedded as literals, so NO lineage accumulates across
+    iterations (nothing to localCheckpoint — the dedup_components
+    hazard does not arise) and the corpus is re-scanned, not
+    re-shuffled. The final stats pass broadcast-joins the k-row
+    centroid table for the exact per-row cosine.
+
+    Cross-engine determinism: per-dimension means are snapped to 6
+    decimals on BOTH engines before the next assignment (aggregate
+    sum order is engine- and partition-dependent; the snap puts both
+    on the same double before any discrete argmax depends on it)."""
+    cents = _collect_centroids(spark, sf_dir)
+    seed_vecs = {cid: vec for cid, vec in cents}
+    e = spread(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = e.withColumn("cent_id", F.expr(_ivf_assign_sql(cents)))
+        rows = (
+            assigned.select(
+                "cent_id", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+            .groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "c"))
+                ).alias("pc")
+            )
+            .select(
+                "cent_id", F.transform("pc", lambda s: s["c"]).alias("cvec")
+            )
+            .orderBy("cent_id")
+            .collect()
+        )
+        cents = [(int(r["cent_id"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+    final = e.withColumn("cent_id", F.expr(_ivf_assign_sql(cents)))
+    cdf = spark.createDataFrame(
+        [(cid, vec, seed_vecs[cid]) for cid, vec in cents],
+        "cent_id bigint, cvec array<double>, svec array<double>",
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda p: p * p),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    cos = _dot(F.col("embedding"), F.col("cvec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cvec"))
+    )
+    drift = _dot(F.col("svec"), F.col("cvec")) / (
+        _norm(F.col("svec")) * _norm(F.col("cvec"))
+    )
+    return (
+        final.join(F.broadcast(cdf), "cent_id")
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(cos), 4).alias("avg_cos"),
+            F.round(F.min(drift), 4).alias("drift_cos"),
+        )
+    )

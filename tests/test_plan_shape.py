@@ -826,3 +826,16 @@ def test_minhash_decontaminate_broadcasts_eval_side(spark, sf_dir, ops):
     assert "BroadcastHashJoin" in plan
     offending = arrays_crossing_exchanges(df)
     assert not offending, offending
+
+
+def test_kmeans_refine_final_pass_row_local(spark, sf_dir, ops):
+    """The k-means refine's returned plan (final assignment + stats)
+    must keep the assignment row-local (no Window) and ship vectors
+    only through the broadcast of the k-row centroid table — no array
+    may cross a non-broadcast Exchange."""
+    df = ops.QUERIES["ivf_kmeans_refine"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending
