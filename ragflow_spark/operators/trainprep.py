@@ -1040,6 +1040,27 @@ def _cls_oracle() -> str:
     """
 
 
+def with_cls_score(df):
+    """Append the row-local integer milli-score column ``cls_milli``
+    over ``text`` — the single scoring definition shared by the batch
+    rollup and the streaming gate
+    (streaming/classifier_gate.py). The weight-array literal is bound
+    to its own column FIRST so it is constructed once per row, not
+    once per token (higher-order-function lambdas re-evaluate their
+    subtrees per element — CLAUDE.md invariant)."""
+    w_lit = "array(" + ", ".join(f"{x}L" for x in _cls_weights()) + ")"
+    sm = F.expr(
+        "aggregate(transform(split(text, ' '), t -> "
+        f"wt[cast(conv(substring(md5(t), 1, 4), 16, 10) as int) % {CLS_DIM}]"
+        "), 0L, (a, x) -> a + x)"
+    )
+    return (
+        df.withColumn("wt", F.expr(w_lit))
+        .withColumn("cls_milli", sm)
+        .drop("wt")
+    )
+
+
 @register("classifier_filter_stats", oracle=_cls_oracle())
 def classifier_filter_stats(spark, sf_dir):
     """Quality-classifier inference at corpus scale — the
@@ -1061,19 +1082,14 @@ def classifier_filter_stats(spark, sf_dir):
     are the two final rollup ratios — and the single Exchange carries
     (source, int-partials): map-side combined, no text, no per-token
     rows. Inference over 10^12 docs is embarrassingly parallel."""
-    w_lit = "array(" + ", ".join(f"{x}L" for x in _cls_weights()) + ")"
-    d = (
-        spread(table(spark, sf_dir, "documents"))
-        .select("doc_id", "source", F.split("text", " ").alias("tk"))
-        .withColumn("wt", F.expr(w_lit))
-    )
-    sm = F.expr(
-        "aggregate(transform(tk, t -> "
-        f"wt[cast(conv(substring(md5(t), 1, 4), 16, 10) as int) % {CLS_DIM}]"
-        "), 0L, (a, x) -> a + x)"
-    )
-    scored = d.select(
-        "source", F.size("tk").alias("nt"), sm.alias("sm")
+    scored = with_cls_score(
+        spread(table(spark, sf_dir, "documents")).select(
+            "doc_id", "source", "text"
+        )
+    ).select(
+        "source",
+        F.size(F.split("text", " ")).alias("nt"),
+        F.col("cls_milli").alias("sm"),
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

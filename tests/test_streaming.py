@@ -335,3 +335,34 @@ def test_decontam_gate_stream_matches_batch(spark, sf_dir, tmp_path):
     assert first.doc_id not in got and 2_000_000 not in got
     # and the gate is not degenerate: almost everything else survived
     assert len(got) >= docs.count() - 4
+
+
+def test_classifier_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming classifier gate == batch keep semantics (shared
+    with_cls_score definition): kept doc_id sets identical, and both
+    paths actually drop something at this sf."""
+    from ragflow_spark.operators.trainprep import with_cls_score
+    from ragflow_spark.streaming.classifier_gate import classifier_gate_stream
+    from ragflow_spark.streaming.clean_gate import documents_stream
+    from ragflow_spark.streaming.windows import run_to_memory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "docs_in"
+    docs.write.mode("overwrite").parquet(str(src))
+
+    out = run_to_memory(
+        classifier_gate_stream(documents_stream(spark, str(src))),
+        "classifier_gate",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    batch = {
+        r.doc_id
+        for r in with_cls_score(docs)
+        .filter(F.col("cls_milli") >= 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == batch
+    assert 0 < len(got) < docs.count(), "gate must be non-trivial"
