@@ -37,6 +37,7 @@ PRIORITY_HEAD = [
     "minhash_decontaminate",
     "ngram_heavy_hitters",
     "ivf_kmeans_refine",
+    "dataset_shard_manifest",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

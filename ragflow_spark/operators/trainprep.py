@@ -1317,3 +1317,85 @@ def minhash_decontaminate(spark, sf_dir):
             4,
         ).alias("flag_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# dataset_shard_manifest
+# --------------------------------------------------------------------------
+
+N_SHARDS = 16  # output shards for the training-data writer
+
+
+@register(
+    "dataset_shard_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+               % {N_SHARDS} AS shard_id,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ), s AS (
+      SELECT shard_id,
+             count(*) AS n_docs,
+             sum(nt) AS n_tokens,
+             bit_xor(('0x' || substr(md5(doc_id || ':' || text), 1, 8))
+                     ::BIGINT) AS shard_sig
+      FROM d GROUP BY shard_id
+    ), t AS (SELECT sum(n_tokens) AS total FROM s)
+    SELECT shard_id,
+           n_docs::BIGINT AS n_docs,
+           n_tokens::BIGINT AS n_tokens,
+           shard_sig,
+           round(n_tokens * 1.0 / total, 4) AS token_share
+    FROM s, t
+    """,
+)
+def dataset_shard_manifest(spark, sf_dir):
+    """The training-data WRITER's manifest: deterministic shard
+    assignment (md5 of doc_id -> {N_SHARDS} shards) plus per-shard
+    doc count, token count, balance share, and a bit_xor integrity
+    signature — the table a data loader checks before consuming a
+    published dataset, and the resume contract for the writer itself
+    (shard membership is a pure function of doc_id: re-running any
+    subset of shards reproduces identical contents regardless of
+    input partitioning or cluster size — the same idempotence
+    argument as the extraction pipeline's url-hash splits).
+
+    Scale shape: assignment and the per-doc 32-bit signature are
+    map-side expressions; ONE rollup Exchange carries {N_SHARDS} x
+    partitions integer partials (count/sum/bit_xor all have O(1)
+    partial state); the 1-row corpus total folds back broadcast for
+    the share column (token_budget_mix idiom, no driver collect). On
+    a real run the rollup rides the same job as the
+    partitionBy(shard_id) write."""
+    from ragflow_spark.operators.corpus import _doc_sig
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % N_SHARDS
+        ).alias("shard_id"),
+        F.size(F.split("text", " ")).alias("nt"),
+        _doc_sig(F.col("text")).alias("sig"),
+    )
+    s = d.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.expr("bit_xor(sig)").alias("shard_sig"),
+    )
+    t = s.agg(F.sum("n_tokens").alias("total"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "shard_sig",
+        F.round(F.col("n_tokens") * F.lit(1.0) / F.col("total"), 4).alias(
+            "token_share"
+        ),
+    )
