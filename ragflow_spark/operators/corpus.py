@@ -949,3 +949,91 @@ def ngram_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("n_occ"), F.asc("gram"))
         .limit(HH_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_overlap_matrix
+# --------------------------------------------------------------------------
+
+# cross-source clone selector: docs with doc_id % 23 == 3 are planted
+# into the NEXT source (cyclic by sorted source name) under a
+# max(doc_id)-derived id, so the overlap matrix has deterministic
+# off-diagonal mass at every sf (the raw corpus has no cross-source
+# exact dups below sf0.1).
+XSRC_MOD, XSRC_RESIDUE = 23, 3
+
+
+@register(
+    "corpus_overlap_matrix",
+    oracle=f"""
+    WITH srcs AS (
+      SELECT source, row_number() OVER (ORDER BY source) AS rn
+      FROM (SELECT DISTINCT source FROM documents)
+    ), ns AS (SELECT count(*) AS n FROM srcs),
+    nextmap AS (
+      SELECT a.source, b.source AS nxt
+      FROM srcs a
+      JOIN ns ON true
+      JOIN srcs b ON b.rn = a.rn % ns.n + 1
+    ), mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+    corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + (SELECT off FROM mx), m.nxt, d.text
+      FROM documents d JOIN nextmap m ON d.source = m.source
+      WHERE d.doc_id % {XSRC_MOD} = {XSRC_RESIDUE}
+    ), dd AS (
+      SELECT DISTINCT source, md5(text) AS h FROM corpus
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*)::BIGINT AS n_shared
+    FROM dd a JOIN dd b ON a.h = b.h AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def corpus_overlap_matrix(spark, sf_dir):
+    """Cross-source overlap audit: for every source pair, how many
+    distinct document digests they share — the table a dedup/mix
+    planner reads before deciding which sources to dedup against
+    which (e.g. how much of a new crawl snapshot is already inside
+    the books/reference slice; Dolma and RefinedWeb both publish
+    exactly this inter-source dup accounting). Clones are planted
+    cyclically into the next source (max(doc_id)-derived ids — the
+    manifest enrichment pattern) so every sf has deterministic
+    off-diagonal mass; at sf0.1 the corpus adds 8 organic shared
+    digests on top.
+
+    Scale shape: the matrix is computed entirely on (source, digest)
+    pairs — text reduces to md5 map-side and never crosses the wire;
+    the distinct + self-join shuffle on the 16-byte digest, and the
+    output is |S|^2/2 rows max. The source->next map is a bounded
+    driver collect (|S| rows, IVF-centroid pattern)."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    srcs = sorted(
+        r["source"] for r in d.select("source").distinct().collect()
+    )
+    nxt = {s: srcs[(i + 1) % len(srcs)] for i, s in enumerate(srcs)}
+    off = d.agg(F.max("doc_id")).first()[0] + 1
+    nextmap = spark.createDataFrame(
+        [(s, nxt[s]) for s in srcs], "source string, nxt string"
+    )
+    clones = (
+        d.filter(F.col("doc_id") % XSRC_MOD == XSRC_RESIDUE)
+        .join(F.broadcast(nextmap), "source")
+        .select(
+            (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+            F.col("nxt").alias("source"),
+            "text",
+        )
+    )
+    corpus = d.unionByName(clones)
+    dd = corpus.select("source", F.md5("text").alias("h")).distinct()
+    a = dd.select(F.col("source").alias("source_a"), "h")
+    b = dd.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    return (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

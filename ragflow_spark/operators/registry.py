@@ -38,6 +38,8 @@ PRIORITY_HEAD = [
     "ngram_heavy_hitters",
     "ivf_kmeans_refine",
     "dataset_shard_manifest",
+    "corpus_overlap_matrix",
+    "bpe_merge_induction",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

@@ -1399,3 +1399,129 @@ def dataset_shard_manifest(spark, sf_dir):
             "token_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# bpe_merge_induction
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 3  # induction steps surfaced (each = one corpus-wide argmax)
+
+
+def _bpe_pair_cte(pname: str, vname: str) -> str:
+    """Weighted adjacent-pair counts over a vocab CTE (enc, freq).
+    ``enc`` is 'a|b|c|' (trailing separator), so string_split yields a
+    trailing '' sentinel: symbols live at 1-based [1, len-1] and the
+    range bound len(s)-2 never pairs into the sentinel."""
+    return f"""{pname} AS (
+      SELECT s[i + 1] || ' ' || s[i + 2] AS pair, sum(freq) AS cnt
+      FROM (SELECT string_split(enc, '|') AS s, freq FROM {vname}),
+           unnest(range(greatest(len(s) - 2, 0))) AS t(i)
+      GROUP BY pair
+    )"""
+
+
+def _bpe_step_ctes(step: int) -> str:
+    p, b, vprev, vnext = f"p{step}", f"b{step}", f"v{step-1}", f"v{step}"
+    return f"""{_bpe_pair_cte(p, vprev)},
+    {b} AS (SELECT pair, cnt FROM {p} ORDER BY cnt DESC, pair LIMIT 1),
+    {vnext} AS (
+      SELECT replace(enc, replace(pair, ' ', '|') || '|',
+                     replace(pair, ' ', '') || '|') AS enc, freq
+      FROM {vprev}, {b}
+    )"""
+
+
+def _bpe_oracle() -> str:
+    steps = ",\n    ".join(_bpe_step_ctes(s) for s in range(1, BPE_MERGES + 1))
+    out = "\n    UNION ALL ".join(
+        f"SELECT {s} AS step, pair AS merge, cnt::BIGINT AS cnt FROM b{s}"
+        for s in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+      ) GROUP BY word
+    ), v0 AS (
+      SELECT regexp_replace(word, '(.)', '\\1|', 'g') AS enc, freq
+      FROM words
+    ),
+    {steps}
+    {out}
+    """
+
+
+@register("bpe_merge_induction", oracle=_bpe_oracle())
+def bpe_merge_induction(spark, sf_dir):
+    """Tokenizer training at corpus scale: the first {BPE_MERGES} BPE
+    merges (Sennrich et al. 2016, ACL — the byte-pair-encoding
+    induction GPT-2-style tokenizers train with): reduce the corpus
+    to a (word, freq) vocabulary, then per step count
+    frequency-weighted adjacent symbol pairs, pick the global argmax
+    (count DESC, pair ASC), and apply the merge left-to-right
+    non-overlapping to every vocab entry.
+
+    Scale shape: the corpus collapses to VOCABULARY cardinality in
+    the first aggregation (map-side combined word count) and never
+    gets touched again — the iteration runs entirely on the vocab
+    table, localCheckpointed once so no re-scan or lineage growth per
+    step (dedup_components invariant). Each step is one
+    (pair, partial-count) Exchange at pair-vocabulary cardinality +
+    a 1-ROW driver collect (the convergence-scalar idiom); the merge
+    application is a row-local string replace over 'a|b|c|'-encoded
+    symbols — both engines' replace() is left-to-right
+    non-overlapping, which IS the BPE merge rule ('a a a a' merges to
+    'aa aa', not 'aa a a'; verified cross-engine). Integer counts
+    throughout: no float tie risk."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    vocab = (
+        d.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace("word", "(.)", "$1|").alias("enc"), "freq"
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    cur = vocab
+    for step in range(1, BPE_MERGES + 1):
+        syms = F.split("enc", "\\|")
+        n = F.size(syms) - 1  # trailing '' sentinel
+        pairs = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(syms, i + 1),
+                    F.element_at(syms, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocab fully merged — mirrors the oracle's empty
+            # bN CTE zeroing out every later step's UNION branch
+        best = top[0]
+        merges.append((step, best["pair"], int(best["cnt"])))
+        a, b = best["pair"].split(" ")
+        cur = cur.withColumn(
+            "enc",
+            F.replace(
+                F.col("enc"),
+                F.lit(f"{a}|{b}|"),
+                F.lit(f"{a}{b}|"),
+            ),
+        )
+    return spark.createDataFrame(merges, "step int, merge string, cnt bigint")

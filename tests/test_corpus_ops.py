@@ -229,3 +229,38 @@ def test_cms_is_linear_and_partition_invariant(spark, sf_dir):
     assert (even + odd == full).all()
     repartitioned = build_cms(grams.repartition(7), "gram")
     assert (repartitioned == full).all()
+
+
+# ------------------------------------------------------ BPE induction
+
+
+def test_bpe_merge_semantics_and_early_stop(spark, tmp_path):
+    """Hand-checkable BPE: corpus 'aa aa aa b' has exactly one
+    possible merge ('a a', weight 3 — left-to-right non-overlapping),
+    after which no pairs remain: the operator must emit one row and
+    stop, on BOTH engines."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa b", "en", "src0", 10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.write.parquet(str(sf / "documents.parquet"))
+    got = sorted(
+        tuple(r) for r in em.queries()["bpe_merge_induction"](spark, str(sf)).collect()
+    )
+    assert got == [(1, "a a", 3)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    orc = sorted(
+        tuple(r)
+        for r in con.sql(em.oracle_sql()["bpe_merge_induction"]).df().itertuples(index=False)
+    )
+    assert orc == [(1, "a a", 3)]

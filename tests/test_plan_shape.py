@@ -839,3 +839,15 @@ def test_kmeans_refine_final_pass_row_local(spark, sf_dir, ops):
     assert "BroadcastHashJoin" in plan
     offending = arrays_crossing_exchanges(df)
     assert not offending, offending
+
+
+def test_overlap_matrix_ships_digests_only(spark, sf_dir, ops):
+    """The cross-source overlap matrix must reduce text to md5
+    map-side: no attribute named text may cross any SEMANTIC shuffle
+    (ENSURE_REQUIREMENTS — the distinct and the digest self-join);
+    spread()'s round-robin scan parallelizer is exempt, it is a no-op
+    at crawl scale."""
+    df = ops.QUERIES["corpus_overlap_matrix"](spark, sf_dir)
+    crossing = _attrs_crossing_exchanges(df, required_only=True)
+    texty = [c for c in crossing if "text" in c]
+    assert not texty, texty
