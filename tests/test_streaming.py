@@ -366,3 +366,32 @@ def test_classifier_gate_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert 0 < len(got) < docs.count(), "gate must be non-trivial"
+
+
+def test_cms_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming CMS maintenance == one-shot batch sketch (linearity
+    across micro-batches): split the corpus into 4 files, stream them
+    one file per trigger, and the accumulated grid must equal the
+    batch build — and stay a valid overestimate of exact counts."""
+    import numpy as np
+
+    from ragflow_spark.operators.corpus import bigram_stream
+    from ragflow_spark.operators.countmin import build_cms, cms_estimate
+    from ragflow_spark.streaming.clean_gate import documents_stream
+    from ragflow_spark.streaming.sketch_stream import run_cms_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "docs_in"
+    docs.repartition(4).write.mode("overwrite").parquet(str(src))
+
+    grid = run_cms_stream(
+        documents_stream(spark, str(src), max_files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+    )
+    batch_grid = build_cms(
+        bigram_stream(spark.read.parquet(str(src))), "gram"
+    )
+    assert (grid == batch_grid).all()
+    one = bigram_stream(docs).limit(1).collect()[0]["gram"]
+    true_n = bigram_stream(docs).filter(F.col("gram") == one).count()
+    assert cms_estimate(grid, one) >= true_n
