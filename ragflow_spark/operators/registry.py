@@ -40,6 +40,7 @@ PRIORITY_HEAD = [
     "dataset_shard_manifest",
     "corpus_overlap_matrix",
     "bpe_merge_induction",
+    "bpe_encode_stats",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

@@ -1525,3 +1525,107 @@ def bpe_merge_induction(spark, sf_dir):
             ),
         )
     return spark.createDataFrame(merges, "step int, merge string, cnt bigint")
+
+
+# --------------------------------------------------------------------------
+# bpe_encode_stats
+# --------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    steps = ",\n    ".join(_bpe_step_ctes(s) for s in range(1, BPE_MERGES + 1))
+    # nested literal replaces, innermost = merge 1 (application order
+    # must match induction order — later merges consume earlier ones)
+    enc = "regexp_replace(lower(text), '([^ ])', '\\1|', 'g')"
+    for s in range(1, BPE_MERGES + 1):
+        enc = (
+            f"replace({enc}, replace(b{s}.pair, ' ', '|') || '|', "
+            f"replace(b{s}.pair, ' ', '') || '|')"
+        )
+    return f"""
+    WITH words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+      ) GROUP BY word
+    ), v0 AS (
+      SELECT regexp_replace(word, '(.)', '\\1|', 'g') AS enc, freq
+      FROM words
+    ),
+    {steps},
+    enc AS (
+      SELECT source,
+             len(replace(lower(text), ' ', '')) AS nb,
+             {enc} AS e
+      FROM documents, b1, b2, b3
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(nb)::BIGINT AS syms_before,
+           sum(len(e) - len(replace(e, '|', '')))::BIGINT AS tokens_after,
+           round(sum(nb) * 1.0
+                 / sum(len(e) - len(replace(e, '|', ''))), 4)
+             AS compression
+    FROM enc GROUP BY source
+    """
+
+
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle())
+def bpe_encode_stats(spark, sf_dir):
+    """Tokenizer APPLICATION at corpus scale — the complement of
+    ``bpe_merge_induction``: train the first {BPE_MERGES} BPE merges on
+    the corpus, then encode the whole corpus with them and report the
+    per-source token-count compression a trainer's data loader would
+    see (chars-per-token is the standard tokenizer fertility metric).
+
+    Encoding trick: the induction's per-WORD 'a|b|c|' symbol encoding
+    is applied to the whole document in one map pass by encoding every
+    non-space char as 'c|' and keeping spaces as word separators — a
+    merge literal 'a|b|' can never match across a word boundary
+    because the boundary renders as '| ' (the pair pattern has no
+    space), so whole-text replace === per-word replace. Corpus texts
+    are verified '|'-free by synthesis (sources/pages.py alphabet).
+
+    Scale shape: induction collapses the corpus to vocab cardinality
+    (see ``bpe_merge_induction``); the learned merges come back to the
+    driver as {BPE_MERGES} tiny string literals (fixed count — no
+    plan-size growth with sf), and the encode pass is a purely
+    row-local chain of literal replaces + length arithmetic feeding
+    one per-source rollup Exchange. Document text never shuffles.
+    Shares the induction's early-exhaustion bound: a vocab with fewer
+    than {BPE_MERGES} mergeable pairs would zero the oracle's bN CTEs
+    (same constraint, same corpus floor — holds at every test sf)."""
+    merges = [
+        r["merge"]
+        for r in bpe_merge_induction(spark, sf_dir).orderBy("step").collect()
+    ]
+    enc = F.regexp_replace(F.lower(F.col("text")), "([^ ])", "$1|")
+    for m in merges:
+        a, b = m.split(" ")
+        enc = F.replace(enc, F.lit(f"{a}|{b}|"), F.lit(f"{a}{b}|"))
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "source",
+        F.length(
+            F.replace(F.lower(F.col("text")), F.lit(" "), F.lit(""))
+        ).alias("nb"),
+        (F.length(enc) - F.length(F.replace(enc, F.lit("|"), F.lit("")))).alias(
+            "na"
+        ),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("syms_before"),
+            F.sum("na").alias("tokens_after"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "syms_before",
+            "tokens_after",
+            F.round(
+                F.col("syms_before") * F.lit(1.0) / F.col("tokens_after"), 4
+            ).alias("compression"),
+        )
+    )

@@ -264,3 +264,45 @@ def test_bpe_merge_semantics_and_early_stop(spark, tmp_path):
         for r in con.sql(em.oracle_sql()["bpe_merge_induction"]).df().itertuples(index=False)
     )
     assert orc == [(1, "a a", 3)]
+
+
+def test_bpe_encode_stats_hand_checked(spark, tmp_path):
+    """Hand-checkable encode: vocab {aaab x4, ab x1} induces merges
+    'a a'(8) -> 'a b'(5) -> 'aa ab'(4); encoding 'aaab' takes 1 token,
+    'ab' takes 1, so src0 ('aaab aaab aaab') compresses 12 chars -> 3
+    tokens and src1 ('ab aaab') 6 chars -> 2 tokens, on BOTH engines."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaab aaab aaab", "en", "src0", 14),
+            (1, "ab aaab", "en", "src1", 7),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.write.parquet(str(sf / "documents.parquet"))
+    want = [
+        ("src0", 1, 12, 3, 4.0),
+        ("src1", 1, 6, 2, 3.0),
+    ]
+    got = sorted(
+        tuple(r)
+        for r in em.queries()["bpe_encode_stats"](spark, str(sf)).collect()
+    )
+    assert got == want
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    orc = sorted(
+        tuple(r)
+        for r in con.sql(em.oracle_sql()["bpe_encode_stats"])
+        .df()
+        .itertuples(index=False)
+    )
+    assert orc == want
