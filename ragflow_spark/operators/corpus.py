@@ -1037,3 +1037,123 @@ def corpus_overlap_matrix(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# --------------------------------------------------------------------------
+# crawl_snapshot_diff
+# --------------------------------------------------------------------------
+
+# Deterministic stand-ins for two crawl snapshots of the same URL
+# space (production: two CDX-indexed monthly crawls): the previous
+# crawl misses doc_id % 19 == 3, the current crawl misses
+# doc_id % 23 == 5, and pages with doc_id % 7 == 2 were re-rendered
+# between the crawls (content revision marker appended), so the diff
+# has real rows in every class — added, removed, changed, unchanged.
+_SNAP_PREV_DROP = 19
+_SNAP_CURR_DROP = 23
+_SNAP_REV_MOD = 7
+
+_CRAWL_DIFF_ORACLE = f"""
+    WITH prev AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE doc_id % {_SNAP_PREV_DROP} != 3
+    ), curr AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % {_SNAP_REV_MOD} = 2
+                      THEN text || ' <rev>' ELSE text END) AS h
+      FROM documents WHERE doc_id % {_SNAP_CURR_DROP} != 5
+    ), j AS (
+      SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+             coalesce(p.source, c.source) AS source,
+             p.h AS hp, c.h AS hc
+      FROM prev p FULL OUTER JOIN curr c
+        ON p.doc_id = c.doc_id AND p.source = c.source
+    )
+    SELECT source,
+           count(hp)::BIGINT AS n_prev,
+           count(hc)::BIGINT AS n_curr,
+           sum(CASE WHEN hp IS NULL THEN 1 ELSE 0 END)::BIGINT AS added,
+           sum(CASE WHEN hc IS NULL THEN 1 ELSE 0 END)::BIGINT AS removed,
+           sum(CASE WHEN hp IS NOT NULL AND hc IS NOT NULL
+                         AND hp != hc THEN 1 ELSE 0 END)::BIGINT AS changed,
+           sum(CASE WHEN hp = hc THEN 1 ELSE 0 END)::BIGINT AS unchanged,
+           bit_xor(CASE WHEN hp IS NOT NULL AND hc IS NOT NULL
+                             AND hp != hc THEN doc_id END)::BIGINT
+             AS changed_sig,
+           round((sum(CASE WHEN hp IS NULL THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN hc IS NULL THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN hp IS NOT NULL AND hc IS NOT NULL
+                                  AND hp != hc THEN 1 ELSE 0 END)) * 1.0
+                 / count(hc), 4) AS churn_ratio
+    FROM j GROUP BY source
+    """
+
+
+@register("crawl_snapshot_diff", oracle=_CRAWL_DIFF_ORACLE)
+def crawl_snapshot_diff(spark, sf_dir):
+    """Re-crawl change detection: diff two crawl snapshots of the same
+    URL space by content digest and account, per source, for pages
+    added, removed, changed (present in both crawls with a different
+    digest), and unchanged — plus a bit_xor signature of the changed
+    page ids (order-independent, so the driver's hash compare pins the
+    exact changed SET, not just its size) and the churn ratio
+    (added+removed+changed over the current crawl's page count). This
+    is the standard between-crawls job a Common-Crawl-style pipeline
+    runs to decide what to re-extract and what to serve from the
+    committed store (the plans/checkpoint.py snapshot chain is the
+    intra-run form of the same idea).
+
+    Scale shape (two ~3*10^9-page crawls): both sides reduce to
+    (page_key, source, 16-byte digest) AT THE SCAN — text never
+    crosses the wire — and the diff is one full-outer sort-merge join
+    on the page key followed by a per-source rollup whose counts are
+    map-side partials. In production both snapshot digest tables are
+    written bucketed by page key (Iceberg bucket transform, same as
+    dedup_incremental's committed side), which makes the monthly diff
+    join shuffle-free; AQE absorbs host-level skew. The revision
+    marker/drop moduli are synthesis-only knobs, not operator
+    parameters."""
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    prev = d.filter(F.col("doc_id") % _SNAP_PREV_DROP != 3).select(
+        "doc_id", "source", F.md5("text").alias("hp")
+    )
+    curr = d.filter(F.col("doc_id") % _SNAP_CURR_DROP != 5).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % _SNAP_REV_MOD == 2,
+                F.concat(F.col("text"), F.lit(" <rev>")),
+            ).otherwise(F.col("text"))
+        ).alias("hc"),
+    )
+    j = prev.join(curr, ["doc_id", "source"], "full_outer")
+    is_changed = (
+        F.col("hp").isNotNull()
+        & F.col("hc").isNotNull()
+        & (F.col("hp") != F.col("hc"))
+    )
+    return j.groupBy("source").agg(
+        F.count("hp").alias("n_prev"),
+        F.count("hc").alias("n_curr"),
+        F.sum(F.col("hp").isNull().cast("long")).alias("added"),
+        F.sum(F.col("hc").isNull().cast("long")).alias("removed"),
+        F.sum(is_changed.cast("long")).alias("changed"),
+        F.sum((F.col("hp") == F.col("hc")).cast("long")).alias("unchanged"),
+        F.expr(
+            "bit_xor(case when hp is not null and hc is not null "
+            "and hp != hc then doc_id end)"
+        ).alias("changed_sig"),
+        F.round(
+            (
+                F.sum(F.col("hp").isNull().cast("long"))
+                + F.sum(F.col("hc").isNull().cast("long"))
+                + F.sum(is_changed.cast("long"))
+            )
+            * F.lit(1.0)
+            / F.count("hc"),
+            4,
+        ).alias("churn_ratio"),
+    )

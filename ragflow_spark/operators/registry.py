@@ -41,6 +41,7 @@ PRIORITY_HEAD = [
     "corpus_overlap_matrix",
     "bpe_merge_induction",
     "bpe_encode_stats",
+    "crawl_snapshot_diff",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

@@ -851,3 +851,17 @@ def test_overlap_matrix_ships_digests_only(spark, sf_dir, ops):
     crossing = _attrs_crossing_exchanges(df, required_only=True)
     texty = [c for c in crossing if "text" in c]
     assert not texty, texty
+
+
+def test_crawl_snapshot_diff_ships_digests_only(spark, sf_dir, ops):
+    """The snapshot diff's full-outer join + rollup must move
+    (doc_id, source, 16-byte digest) rows only — the page text is
+    reduced to md5 at the scan and must never cross an Exchange (a
+    crawl snapshot IS the corpus; shipping text would double-ship
+    100 TB per monthly diff)."""
+    df = ops.QUERIES["crawl_snapshot_diff"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join FullOuter" in plan or "FullOuter" in plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert crossing, "expected the join + rollup shuffles"
+    assert "text" not in crossing, crossing
