@@ -1,0 +1,139 @@
+"""Web link-graph analytics: PageRank over a crawl-scale edge list.
+
+The reference's pipeline stops at per-document processing (agent/
+component has no graph operators at all); a web-scale extraction
+engine, however, sits next to THE canonical web-scale iterative job —
+centrality over the hyperlink graph (Page et al. 1999; the original
+MapReduce/Pregel showcase workload). This module implements the power
+method as an iterative DataFrame plan in the repo's house style for
+iteration (dedup_components / ivf_kmeans_refine): a fixed small number
+of rounds, the edge list and every per-round rank table
+localCheckpointed so no round re-executes its upstream lineage, and
+ids-only shuffles throughout.
+
+Cross-engine determinism: the iteration runs in EXACT INTEGER
+arithmetic. With damping d = 0.85 = 85/100 and rank r_k represented as
+n_k / (N * 300^k), the update
+
+    r_{k+1} = 0.15/N + 0.85 * sum_in( r_k(src) / outdeg )
+
+with constant outdeg = 3 becomes the integer recurrence
+
+    n_{k+1} = 45 * 300^k + 85 * sum_in( n_k(src) ),    n_0 = 1
+
+(45*300^k / (N*300^{k+1}) = 0.15/N and 85/300 = 0.85/3), so both
+engines carry identical BIGINTs and the only float is one final
+division of identical integers — no accumulation-order drift, the
+same reason bpe/dedup keep integer counts. With K = 3 rounds and the
+synthesis graph's bounded in-degree, n_3 < 10^11: far inside BIGINT.
+
+Scale shape (10^11-edge web graph): the edge list is (src, dst) id
+pairs only — built here AT THE SCAN from the documents table, in
+production read from the link-extraction output — and each round is
+one (dst, partial-sum) Exchange at node cardinality plus an ids-only
+join, the exact Pregel superstep dataflow. At scale the edge list is
+bucketed by src (Iceberg bucket transform) so the rank join never
+reshuffles the edges; AQE absorbs hub skew (the same viral-page story
+as dedup_incremental). Fixed K here is the test harness's choice;
+production iterates the same per-round plan to an L1 convergence
+scalar (the dedup_components idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators.registry import register, spread, table
+
+PR_ROUNDS = 3
+PR_TOPK = 20
+# out-link targets: dst_j = (doc_id^2 + c_j) mod N. Quadratic, so the
+# in-degree distribution is non-uniform (a bijective map would make
+# PageRank stay exactly uniform and the query would test nothing);
+# doc_ids are contiguous 0..N-1 in the synthesized corpus, so every
+# target is a real node (no mass leak).
+PR_LINK_SHIFTS = (1, 17, 29)
+
+
+def _pagerank_oracle() -> str:
+    shifts = ", ".join(f"({c})" for c in PR_LINK_SHIFTS)
+    ctes = []
+    for k in range(PR_ROUNDS):
+        base = 45 * (300**k)
+        ctes.append(
+            f"""r{k + 1} AS (
+      SELECT d.doc_id,
+             ({base}::BIGINT + 85 * coalesce(s.w, 0))::BIGINT AS w
+      FROM documents d LEFT JOIN (
+        SELECT e.dst, sum(r.w) AS w
+        FROM edges e JOIN r{k} r ON e.src = r.doc_id
+        GROUP BY e.dst
+      ) s ON d.doc_id = s.dst
+    )"""
+        )
+    steps = ",\n    ".join(ctes)
+    denom = 300**PR_ROUNDS
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * doc_id + c) % nn.n AS dst
+      FROM documents, nn, (VALUES {shifts}) t(c)
+    ),
+    r0 AS (SELECT doc_id, 1::BIGINT AS w FROM documents),
+    {steps}
+    SELECT doc_id, w AS rank_num,
+           round(w * 1.0 / (nn.n * {denom}), 4) AS score
+    FROM r{PR_ROUNDS}, nn
+    ORDER BY w DESC, doc_id ASC LIMIT {PR_TOPK}
+    """
+
+
+@register("link_pagerank", oracle=_pagerank_oracle())
+def link_pagerank(spark, sf_dir):
+    """PageRank over the synthesized crawl link graph: {PR_ROUNDS}
+    power-method rounds in exact integer arithmetic (module docstring
+    has the derivation), returning the top-{PR_TOPK} pages by rank
+    with their damped scores. Each round is one ids-only join + one
+    (dst, sum) Exchange; edges and ranks are localCheckpointed so no
+    round re-runs its upstream (the dedup_components invariant)."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id"))
+    n = docs.count()  # 1-row driver scalar (convergence idiom)
+    shifts = F.array(*[F.lit(c) for c in PR_LINK_SHIFTS])
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.transform(
+                    shifts,
+                    lambda c: (
+                        F.col("doc_id") * F.col("doc_id") + c
+                    ) % F.lit(n),
+                )
+            ).alias("dst"),
+        )
+    ).localCheckpoint()
+    ranks = docs.select("doc_id", F.lit(1).cast("long").alias("w"))
+    for k in range(PR_ROUNDS):
+        inbound = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .groupBy("dst")
+            .agg(F.sum("w").alias("inw"))
+        )
+        ranks = (
+            docs.join(inbound, docs.doc_id == inbound.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(45 * (300**k)).cast("long")
+                    + F.lit(85) * F.coalesce("inw", F.lit(0))
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.orderBy(F.desc("w"), F.asc("doc_id")).limit(PR_TOPK).select(
+        "doc_id",
+        F.col("w").alias("rank_num"),
+        F.round(F.col("w") * F.lit(1.0) / F.lit(n * 300**PR_ROUNDS), 4).alias(
+            "score"
+        ),
+    )

@@ -42,6 +42,7 @@ PRIORITY_HEAD = [
     "bpe_merge_induction",
     "bpe_encode_stats",
     "crawl_snapshot_diff",
+    "link_pagerank",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

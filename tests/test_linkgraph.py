@@ -1,0 +1,45 @@
+"""link_pagerank: hand-checked exact-integer power method."""
+
+
+def test_pagerank_hand_checked_and_mass_conserving(spark, tmp_path):
+    """N=4 graph, dst = (i^2 + c) % 4 for c in (1, 17, 29): every
+    node's 3 links collapse onto one target (0,2 -> 1; 1,3 -> 2), so
+    ranks are hand-computable: n_3 = 49_950_000 for the two hubs and
+    4_050_000 for the unlinked pair, and the exact-integer invariant
+    sum(n_k) == N * 300^k (no dangling mass, outdeg constant 3) holds
+    at k=3: 108_000_000 == 4 * 300^3. Both engines."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.write.parquet(str(sf / "documents.parquet"))
+    want = [
+        (1, 49_950_000, 0.4625),
+        (2, 49_950_000, 0.4625),
+        (0, 4_050_000, 0.0375),
+        (3, 4_050_000, 0.0375),
+    ]
+    got = [
+        tuple(r)
+        for r in em.queries()["link_pagerank"](spark, str(sf)).collect()
+    ]
+    assert got == want
+    assert sum(w for _, w, _ in got) == 4 * 300**3  # exact mass
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    orc = [
+        tuple(r)
+        for r in con.sql(em.oracle_sql()["link_pagerank"])
+        .df()
+        .itertuples(index=False)
+    ]
+    assert orc == want

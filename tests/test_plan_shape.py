@@ -865,3 +865,18 @@ def test_crawl_snapshot_diff_ships_digests_only(spark, sf_dir, ops):
     crossing = _attrs_crossing_required_exchanges(df)
     assert crossing, "expected the join + rollup shuffles"
     assert "text" not in crossing, crossing
+
+
+def test_pagerank_rounds_ship_ids_only(spark, sf_dir, ops):
+    """The returned top-k plan must start from the checkpointed rank
+    table (localCheckpoint truncation — proof no round re-runs its
+    upstream lineage) and take the top-k without a full sort; page
+    payloads never appear (a 10^11-edge graph job moves id/weight
+    longs only)."""
+    df = ops.QUERIES["link_pagerank"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Scan ExistingRDD" in plan, plan  # checkpoint-truncated
+    assert "TakeOrderedAndProject" in plan, plan  # no full sort
+    assert "text" not in plan and "html" not in plan, plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert not crossing, crossing  # top-k needs no shuffle at all
