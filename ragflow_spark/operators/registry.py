@@ -43,6 +43,7 @@ PRIORITY_HEAD = [
     "bpe_encode_stats",
     "crawl_snapshot_diff",
     "link_pagerank",
+    "inverted_index_stats",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

@@ -537,3 +537,78 @@ def corpus_clean_stats(spark, sf_dir):
             F.sum("toks").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# inverted_index_stats
+# --------------------------------------------------------------------------
+
+IDX_TOPK = 20
+# position-sum mixer for the posting signature: doc_id * MIX + pos_sum
+# stays far inside BIGINT at any test sf (DuckDB errors on BIGINT
+# overflow rather than wrapping, so the constant is deliberately small)
+IDX_MIX = 1_000_003
+
+_INVERTED_INDEX_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, s[i + 1] AS term, i AS pos
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS s
+            FROM documents),
+           unnest(range(len(s))) AS t(i)
+    ), postings AS (
+      SELECT term, doc_id,
+             count(*) AS tf, sum(pos)::BIGINT AS pos_sum
+      FROM tok GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*)::BIGINT AS df,
+           sum(tf)::BIGINT AS cf,
+           bit_xor(doc_id * {IDX_MIX} + pos_sum)::BIGINT AS postings_sig
+    FROM postings GROUP BY term
+    ORDER BY df DESC, cf DESC, term ASC LIMIT {IDX_TOPK}
+    """
+
+
+@register("inverted_index_stats", oracle=_INVERTED_INDEX_ORACLE)
+def inverted_index_stats(spark, sf_dir):
+    """Distributed inverted-index construction — the indexing-side
+    twin of the BM25 retrieval queries (the reference delegates this
+    to its search backend's indexer; rag/nlp/search.py queries what a
+    job like this builds): tokenize with positions, reduce to postings
+    (term, doc_id) -> (tf, position-sum), and report the top-{IDX_TOPK}
+    terms by document frequency with an order-independent posting-list
+    signature (bit_xor over doc_id * {IDX_MIX} + pos_sum), which pins
+    the exact posting SET including every term position, not just the
+    per-term counts. Integer arithmetic throughout — no float drift.
+
+    Scale shape (the classic MapReduce indexing job): the (term,
+    doc_id) reduction is map-side combinable — within a partition a
+    document's tokens collapse to per-doc postings before anything
+    shuffles — and the per-term rollup moves one (term, tf, pos_sum)
+    row per posting. At production scale the term string is dictionary-
+    encoded to a 64-bit id before the Exchange (term strings ship once
+    to build the dictionary) and the index is written bucketed by term
+    so query-side lookups are single-bucket scans; the final top-k is
+    TakeOrdered, no global sort."""
+    tok = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "term"
+        ),
+    )
+    postings = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sum("pos").alias("pos_sum"),
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.expr(f"bit_xor(doc_id * {IDX_MIX} + pos_sum)").alias(
+                "postings_sig"
+            ),
+        )
+        .orderBy(F.desc("df"), F.desc("cf"), F.asc("term"))
+        .limit(IDX_TOPK)
+    )

@@ -880,3 +880,16 @@ def test_pagerank_rounds_ship_ids_only(spark, sf_dir, ops):
     assert "text" not in plan and "html" not in plan, plan
     crossing = _attrs_crossing_required_exchanges(df)
     assert not crossing, crossing  # top-k needs no shuffle at all
+
+
+def test_inverted_index_partial_agg_and_topk(spark, sf_dir, ops):
+    """The postings reduction must have a map-side partial (a doc's
+    tokens collapse before the shuffle) and the final top-k must be
+    TakeOrdered, not a global sort; text never crosses an Exchange
+    (only term/tf/pos_sum posting rows do)."""
+    df = ops.QUERIES["inverted_index_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "text" not in crossing, crossing
