@@ -1157,3 +1157,109 @@ def crawl_snapshot_diff(spark, sf_dir):
             4,
         ).alias("churn_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# robots_fetch_filter
+# --------------------------------------------------------------------------
+
+# Deterministic per-host robots.txt stand-in (same synthesis-enrichment
+# pattern as the URL-mess/PII operators): every host publishes one
+# Disallow PATH PREFIX and a Crawl-delay. Prefixes are real prefix
+# rules, not exact paths — '/doc-3' blocks /doc-3, /doc-30..39,
+# /doc-300..399 — so the operator must do string prefix matching, which
+# is robots.txt's actual longest-prefix semantics (RFC 9309 §2.2).
+#   big.example.com  -> Disallow: /doc-3,           Crawl-delay: 1
+#   siteNN.example.org -> Disallow: /doc-(NN % 10), Crawl-delay: 1 + NN % 5
+
+_ROBOTS_ORACLE = f"""
+    WITH pages AS (
+      SELECT doc_id, {_URL_HOST_SQL} AS host,
+             '/doc-' || doc_id AS path
+      FROM documents
+    ), rules AS (
+      SELECT host,
+             CASE WHEN host = 'big.example.com' THEN '/doc-3'
+                  ELSE '/doc-' ||
+                       (regexp_extract(host, 'site(\\d+)', 1)::INT % 10)
+             END AS disallow_prefix,
+             CASE WHEN host = 'big.example.com' THEN 1
+                  ELSE 1 + regexp_extract(host, 'site(\\d+)', 1)::INT % 5
+             END AS crawl_delay_s
+      FROM (SELECT DISTINCT host FROM pages)
+    )
+    SELECT p.host,
+           max(r.crawl_delay_s)::BIGINT AS crawl_delay_s,
+           count(*)::BIGINT AS n_pages,
+           sum(CASE WHEN starts_with(p.path, r.disallow_prefix)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
+           sum(CASE WHEN starts_with(p.path, r.disallow_prefix)
+                    THEN 0 ELSE 1 END)::BIGINT AS n_allowed,
+           (sum(CASE WHEN starts_with(p.path, r.disallow_prefix)
+                     THEN 0 ELSE 1 END)
+            * max(r.crawl_delay_s))::BIGINT AS fetch_eta_s
+    FROM pages p JOIN rules r USING (host)
+    GROUP BY p.host
+    """
+
+
+@register("robots_fetch_filter", oracle=_ROBOTS_ORACLE)
+def robots_fetch_filter(spark, sf_dir):
+    """Robots.txt compliance over the fetch frontier — the politeness
+    gate every crawler runs between the fetch plan (cdx_fetch_plan)
+    and the fetcher: join the frontier against the per-host rule
+    table, drop Disallow'd paths by PREFIX match (RFC 9309 §2.2
+    semantics — '/doc-3' blocks /doc-30x too), and per host report
+    blocked/allowed page counts plus the serial fetch ETA implied by
+    the host's Crawl-delay (n_allowed * delay: one host is one polite
+    fetch queue). Integer outputs only.
+
+    Scale shape: the rule table is one row per host (~10^7 hosts for
+    the full web — a few hundred MB of prefixes) and BROADCASTS to the
+    frontier scan, so the frontier — 10^9+ urls per crawl — never
+    shuffles for the compliance check; the only Exchange is the
+    per-host count rollup. The rules here are synthesized from host
+    arithmetic (module comment); in production they come from the
+    robots-fetch side channel keyed the same way."""
+    from ragflow_spark.plans.pipeline import host_of
+    from ragflow_spark.sources.pages import synthesize_pages
+
+    pg = synthesize_pages(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    ).select(
+        host_of(F.col("url")).alias("host"),
+        F.regexp_extract("url", "^[a-z]+://[^/]+(/.*)$", 1).alias("path"),
+    )
+    nn = F.regexp_extract("host", "site(\\d+)", 1).cast("int")
+    rules = pg.select("host").distinct().select(
+        "host",
+        F.when(F.col("host") == "big.example.com", F.lit("/doc-3"))
+        .otherwise(
+            F.concat(F.lit("/doc-"), (nn % 10).cast("string"))
+        )
+        .alias("disallow_prefix"),
+        F.when(F.col("host") == "big.example.com", F.lit(1))
+        .otherwise(F.lit(1) + nn % 5)
+        .alias("crawl_delay_s"),
+    )
+    j = pg.join(F.broadcast(rules), "host")
+    blocked = F.col("path").startswith(F.col("disallow_prefix"))
+    return (
+        j.groupBy("host")
+        .agg(
+            F.max("crawl_delay_s").cast("long").alias("crawl_delay_s"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(blocked.cast("long")).alias("n_blocked"),
+            F.sum((~blocked).cast("long")).alias("n_allowed"),
+        )
+        .select(
+            "host",
+            "crawl_delay_s",
+            "n_pages",
+            "n_blocked",
+            "n_allowed",
+            (F.col("n_allowed") * F.col("crawl_delay_s")).alias(
+                "fetch_eta_s"
+            ),
+        )
+    )

@@ -44,6 +44,7 @@ PRIORITY_HEAD = [
     "crawl_snapshot_diff",
     "link_pagerank",
     "inverted_index_stats",
+    "robots_fetch_filter",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

@@ -893,3 +893,15 @@ def test_inverted_index_partial_agg_and_topk(spark, sf_dir, ops):
     assert "TakeOrderedAndProject" in plan, plan
     crossing = _attrs_crossing_required_exchanges(df)
     assert "text" not in crossing, crossing
+
+
+def test_robots_rules_broadcast_to_frontier(spark, sf_dir, ops):
+    """The per-host rule table must broadcast: the fetch frontier
+    (10^9+ urls per crawl) never shuffles for the compliance check —
+    the only required Exchange is the per-host count rollup, and no
+    page payload crosses it."""
+    df = ops.QUERIES["robots_fetch_filter"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "html" not in crossing and "path" not in crossing, crossing
