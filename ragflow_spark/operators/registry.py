@@ -45,6 +45,7 @@ PRIORITY_HEAD = [
     "link_pagerank",
     "inverted_index_stats",
     "robots_fetch_filter",
+    "quality_filter_agreement",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

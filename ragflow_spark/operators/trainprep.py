@@ -1629,3 +1629,89 @@ def bpe_encode_stats(spark, sf_dir):
             ).alias("compression"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# quality_filter_agreement
+# --------------------------------------------------------------------------
+
+
+def _agreement_oracle() -> str:
+    w = ", ".join(str(x) for x in _cls_weights())
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), cnt AS (
+      SELECT word, count(*) AS c FROM w GROUP BY word
+    ), tot AS (
+      SELECT sum(c)::DOUBLE AS t FROM cnt
+    ), vocab AS (
+      SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT {LM_VOCAB_TOP}
+    ), xent AS (
+      SELECT w.doc_id,
+             round(avg(round(-log2(coalesce(v.c / tot.t, 0.5 / tot.t)),
+                             6)), 4) AS xent
+      FROM w CROSS JOIN tot LEFT JOIN vocab v ON w.word = v.word
+      GROUP BY w.doc_id
+    ), wt AS (SELECT [{w}]::BIGINT[] AS w), cls AS (
+      SELECT doc_id,
+             list_sum(list_transform(string_split(text, ' '), t ->
+               w[('0x' || substring(md5(t), 1, 4))::BIGINT % {CLS_DIM} + 1]
+             ))::BIGINT AS sm
+      FROM documents CROSS JOIN wt
+    ), verdicts AS (
+      SELECT c.doc_id,
+             (c.sm >= 0) AS cls_keep,
+             (x.xent <= {LM_XENT_FLAG_BITS}) AS lm_keep
+      FROM cls c JOIN xent x ON c.doc_id = x.doc_id
+    )
+    SELECT cls_keep, lm_keep,
+           count(*)::BIGINT AS n_docs,
+           round(count(*) * 1.0 / (SELECT count(*) FROM verdicts), 4)
+             AS share,
+           bit_xor(doc_id)::BIGINT AS docs_sig
+    FROM verdicts GROUP BY cls_keep, lm_keep
+    """
+
+
+@register("quality_filter_agreement", oracle=_agreement_oracle())
+def quality_filter_agreement(spark, sf_dir):
+    """Ensemble quality-filter audit — the production question behind
+    Llama-3-style multi-filter pipelines (Dubey et al. 2024 §3.1.3
+    stack several quality classifiers): do the hashed-linear
+    classifier (with_cls_score) and the unigram-LM perplexity filter
+    (_xent_scored) agree, and on exactly which documents? Output is
+    the 2x2 keep/drop confusion matrix with per-cell corpus share and
+    a bit_xor doc-id signature, so the driver's hash compare pins the
+    exact per-cell document SETS — a silent drift in either scorer's
+    verdict on any single doc fails the oracle.
+
+    Scale shape: both verdicts are row-local Columns over the same
+    scan (the classifier is a literal weight table, the LM a literal
+    word->bits map after pass 1's bounded vocab reduce), so the matrix
+    costs ONE corpus pass + a 4-row rollup Exchange; the share
+    denominator folds back via a broadcast 1-row cross join, no second
+    pass. At 10^12 docs this is exactly how the filters would be
+    co-audited: piggyback both scores on one scan, never materialize
+    per-doc verdicts."""
+    d, xent = _xent_scored(spark, sf_dir)
+    scored = with_cls_score(d).select(
+        "doc_id",
+        (F.col("cls_milli") >= 0).alias("cls_keep"),
+        (xent <= F.lit(LM_XENT_FLAG_BITS)).alias("lm_keep"),
+    )
+    cells = scored.groupBy("cls_keep", "lm_keep").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_xor(doc_id)").alias("docs_sig"),
+    )
+    total = cells.agg(F.sum("n_docs").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "cls_keep",
+        "lm_keep",
+        "n_docs",
+        F.round(F.col("n_docs") * F.lit(1.0) / F.col("total"), 4).alias(
+            "share"
+        ),
+        "docs_sig",
+    )

@@ -905,3 +905,16 @@ def test_robots_rules_broadcast_to_frontier(spark, sf_dir, ops):
     assert "BroadcastHashJoin" in plan, plan
     crossing = _attrs_crossing_required_exchanges(df)
     assert "html" not in crossing and "path" not in crossing, crossing
+
+
+def test_quality_agreement_is_one_pass(spark, sf_dir, ops):
+    """Both filter verdicts must be row-local columns over ONE scan —
+    no per-doc score join, no window; the only required Exchange is
+    the 4-cell rollup (text stays out of it), and the share
+    denominator folds back broadcast."""
+    df = ops.QUERIES["quality_filter_agreement"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "text" not in crossing, crossing
