@@ -395,3 +395,56 @@ def test_cms_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
     one = bigram_stream(docs).limit(1).collect()[0]["gram"]
     true_n = bigram_stream(docs).filter(F.col("gram") == one).count()
     assert cms_estimate(grid, one) >= true_n
+
+
+def test_crawl_diff_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming re-crawl change gate == the batch snapshot-diff
+    classification: the emitted (doc_id, change_kind) set must equal
+    the batch full-outer diff's added+changed cells (built from the
+    same snapshot synthesis constants), and the gate must drop all
+    unchanged pages."""
+    from ragflow_spark.operators.corpus import (
+        _SNAP_CURR_DROP,
+        _SNAP_PREV_DROP,
+        _SNAP_REV_MOD,
+    )
+    from ragflow_spark.streaming.clean_gate import documents_stream
+    from ragflow_spark.streaming.crawl_diff_gate import (
+        crawl_diff_gate_stream,
+        snapshot_digests,
+    )
+    from ragflow_spark.streaming.windows import run_to_memory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prev = docs.filter(F.col("doc_id") % _SNAP_PREV_DROP != 3)
+    curr = docs.filter(F.col("doc_id") % _SNAP_CURR_DROP != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % _SNAP_REV_MOD == 2,
+            F.concat(F.col("text"), F.lit(" <rev>")),
+        ).otherwise(F.col("text")),
+    )
+    src = tmp_path / "curr_in"
+    curr.write.mode("overwrite").parquet(str(src))
+
+    out = run_to_memory(
+        crawl_diff_gate_stream(
+            documents_stream(spark, str(src)), snapshot_digests(prev)
+        ),
+        "crawl_diff_gate",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {(r.doc_id, r.change_kind) for r in out.select("doc_id", "change_kind").collect()}
+
+    pd_prev = {r.doc_id: r.h for r in snapshot_digests(prev).withColumnRenamed("prev_digest", "h").collect()}
+    want = set()
+    for r in curr.select("doc_id", F.md5("text").alias("h")).collect():
+        if r.doc_id not in pd_prev:
+            want.add((r.doc_id, "added"))
+        elif pd_prev[r.doc_id] != r.h:
+            want.add((r.doc_id, "changed"))
+    assert got == want
+    kinds = {k for _, k in got}
+    assert kinds == {"added", "changed"}, kinds  # both classes non-trivial
+    assert len(got) < curr.count()  # unchanged pages were dropped
