@@ -46,6 +46,7 @@ PRIORITY_HEAD = [
     "inverted_index_stats",
     "robots_fetch_filter",
     "quality_filter_agreement",
+    "compaction_plan",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

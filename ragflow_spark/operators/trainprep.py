@@ -1715,3 +1715,105 @@ def quality_filter_agreement(spark, sf_dir):
         ),
         "docs_sig",
     )
+
+
+# --------------------------------------------------------------------------
+# compaction_plan
+# --------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 4096  # toy-scale stand-in for the ~512 MB
+# target file size a production table compacts toward
+COMPACT_SIG_MIX = 1_000_003
+
+_COMPACTION_ORACLE = f"""
+    WITH files AS (
+      SELECT source, doc_id, n_chars AS bytes,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ), grouped AS (
+      SELECT source,
+             -- // : DuckDB's / on integers is FLOAT division and a
+             -- ::BIGINT cast ROUNDS half-even; the fill boundary
+             -- needs floor semantics to match Spark's F.floor
+             ((cum - bytes) // {COMPACT_TARGET_BYTES})::BIGINT
+               AS merge_group,
+             bytes
+      FROM files
+    ), groups AS (
+      SELECT source, merge_group,
+             count(*) AS n_files, sum(bytes)::BIGINT AS group_bytes
+      FROM grouped GROUP BY source, merge_group
+    )
+    SELECT source,
+           sum(n_files)::BIGINT AS n_files,
+           count(*)::BIGINT AS n_groups,
+           sum(group_bytes)::BIGINT AS total_bytes,
+           round(sum(group_bytes) * 1.0
+                 / (count(*) * {COMPACT_TARGET_BYTES}), 4) AS fill_ratio,
+           sum(CASE WHEN group_bytes < {COMPACT_TARGET_BYTES}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_undersized,
+           bit_xor(merge_group * {COMPACT_SIG_MIX} + group_bytes)::BIGINT
+             AS plan_sig
+    FROM groups GROUP BY source
+    """
+
+
+@register("compaction_plan", oracle=_COMPACTION_ORACLE)
+def compaction_plan(spark, sf_dir):
+    """Small-files compaction planner — the maintenance job every
+    100 TB table needs (Iceberg's binPack rewrite): treat each
+    (source, doc_id, n_chars) row as a data file in commit order,
+    greedily fill merge groups to a target size (group = floor of the
+    EXCLUSIVE running-byte prefix / target, so a file starts a new
+    group exactly when the previous ones already reach the target —
+    the sequential bin-fill binPack performs per partition), and
+    report the per-source plan: group count, fill ratio vs target,
+    ragged undersized groups, and a bit_xor signature over
+    (merge_group, group_bytes) pairs that pins the exact grouping —
+    any off-by-one in the fill boundary fails the oracle.
+
+    Scale shape: the running sum is a per-PARTITION window (source =
+    the table partition), the pack_sequences_sharded story — no global
+    sort; only (source, doc_id, bytes) triples enter the window
+    Exchange, never payloads. A production planner over 10^8 files per
+    partition shards the window by manifest file exactly as
+    pack_sequences_sharded shards by doc-hash. Integer bytes
+    throughout; the only double is the final fill ratio."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    files = spread(
+        table(spark, sf_dir, "documents").select(
+            "source", "doc_id", F.col("n_chars").alias("bytes")
+        )
+    ).withColumn(
+        "merge_group",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes"))
+            / F.lit(COMPACT_TARGET_BYTES)
+        ),
+    )
+    groups = files.groupBy("source", "merge_group").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("group_bytes"),
+    )
+    return groups.groupBy("source").agg(
+        F.sum("n_files").alias("n_files"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_bytes").alias("total_bytes"),
+        F.round(
+            F.sum("group_bytes")
+            * F.lit(1.0)
+            / (F.count(F.lit(1)) * F.lit(COMPACT_TARGET_BYTES)),
+            4,
+        ).alias("fill_ratio"),
+        F.sum(
+            (F.col("group_bytes") < COMPACT_TARGET_BYTES).cast("long")
+        ).alias("n_undersized"),
+        F.expr(
+            f"bit_xor(merge_group * {COMPACT_SIG_MIX} + group_bytes)"
+        ).alias("plan_sig"),
+    )

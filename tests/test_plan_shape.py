@@ -918,3 +918,13 @@ def test_quality_agreement_is_one_pass(spark, sf_dir, ops):
     assert "Window" not in plan, plan
     crossing = _attrs_crossing_required_exchanges(df)
     assert "text" not in crossing, crossing
+
+
+def test_compaction_window_ships_file_triples_only(spark, sf_dir, ops):
+    """The bin-fill running sum windows (source, doc_id, bytes)
+    triples per table partition — no global sort, no payloads in any
+    Exchange."""
+    df = ops.QUERIES["compaction_plan"](spark, sf_dir)
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert crossing, "expected the window + rollup shuffles"
+    assert "text" not in crossing, crossing
