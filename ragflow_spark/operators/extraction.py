@@ -489,3 +489,90 @@ def chunk_spans_full(spark, sf_dir):
             ),
         ).alias("spans"),
     )
+
+
+# --------------------------------------------------------------------------
+# snapshot_retention_plan
+# --------------------------------------------------------------------------
+
+SNAP_KEEP_LAST = 3  # expire_snapshots(retain_last => 3) policy
+
+
+def _retention_oracle() -> str:
+    from ragflow_spark.sources.snapstore import (
+        SNAPSTORE_N_SPLITS,
+        SNAPSTORE_WAVE_SIZE,
+    )
+
+    n, ws = SNAPSTORE_N_SPLITS, SNAPSTORE_WAVE_SIZE
+    n_snaps = -(-n // ws)  # ceil
+    return f"""
+    WITH s AS (
+      SELECT i + 1 AS snapshot_id, i AS wave,
+             least({n}, (i + 1) * {ws}) - i * {ws} AS n_splits_added,
+             least({n}, (i + 1) * {ws}) AS cum_splits,
+             (i + 1 <= {n_snaps - SNAP_KEEP_LAST}) AS expired,
+             (SELECT bit_xor(j)
+              FROM unnest(range(i * {ws}, least({n}, (i + 1) * {ws})))
+                u(j)) AS splits_sig
+      FROM unnest(range({n_snaps})) t(i)
+    )
+    SELECT snapshot_id::BIGINT AS snapshot_id, wave::BIGINT AS wave,
+           n_splits_added::BIGINT AS n_splits_added,
+           cum_splits::BIGINT AS cum_splits, expired,
+           splits_sig::BIGINT AS splits_sig
+    FROM s
+    """
+
+
+@register("snapshot_retention_plan", oracle=_retention_oracle())
+def snapshot_retention_plan(spark, sf_dir):
+    """Snapshot expiry planning over a REAL committed snapshot chain —
+    the expire_snapshots(retain_last => {SNAP_KEEP_LAST}) maintenance
+    job of the Iceberg-style log this repo's checkpoint sink writes
+    (plans/checkpoint.py snap-*.json, one per committed wave;
+    read_extracted_asof is the matching time-travel read): materialize
+    (once, cached) a genuine multi-wave extraction run, READ AND PARSE
+    its snapshot files, and emit per snapshot the added-split count,
+    the cumulative table state, the retention verdict, and a bit_xor
+    signature over the snapshot's split ids — so a drifted wave
+    boundary, a skipped snapshot, or a mis-parsed chain all fail the
+    oracle, which recomputes the chain's deterministic structure
+    arithmetically (the cdx_fetch_plan materialize-then-parse
+    pattern).
+
+    Scale shape: the snapshot LOG is metadata — bounded by commit
+    count, not corpus size (a year of hourly commits is ~10^4 rows) —
+    so the global order-by-id window is a deliberate tiny-table plan,
+    like the V-row vocab collect; data files never enter the job. In
+    production the expired ids feed a delete of unreferenced manifest
+    files; here the chain is append-only so retention only bounds the
+    time-travel horizon."""
+    from pyspark.sql import Window
+
+    from ragflow_spark.sources.snapstore import snapshot_run_dir
+
+    out = snapshot_run_dir(spark, sf_dir)
+    snaps = spark.read.json(f"{out}/snapshots/snap-*.json")
+    w = Window.orderBy("snapshot_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    enriched = snaps.select(
+        "snapshot_id",
+        "wave",
+        F.size("splits").cast("long").alias("n_splits_added"),
+        F.expr("aggregate(splits, cast(0 as bigint), (a, x) -> a ^ x)").alias(
+            "splits_sig"
+        ),
+    ).withColumn("cum_splits", F.sum("n_splits_added").over(w))
+    latest = enriched.agg(F.max("snapshot_id").alias("max_id"))
+    return enriched.crossJoin(F.broadcast(latest)).select(
+        "snapshot_id",
+        "wave",
+        "n_splits_added",
+        "cum_splits",
+        (F.col("snapshot_id") <= F.col("max_id") - SNAP_KEEP_LAST).alias(
+            "expired"
+        ),
+        "splits_sig",
+    )

@@ -47,6 +47,7 @@ PRIORITY_HEAD = [
     "robots_fetch_filter",
     "quality_filter_agreement",
     "compaction_plan",
+    "snapshot_retention_plan",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

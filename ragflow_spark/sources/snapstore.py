@@ -1,0 +1,64 @@
+"""Write-once cache of a REAL multi-wave checkpoint run, so the
+snapshot-maintenance queries read and parse an actual snapshot chain
+(the media_store / cdx materialize-then-parse invariant: the query
+must consume the materialized artifact, the oracle recomputes its
+deterministic structure arithmetically).
+
+The cached run uses a FIXED (n_splits, wave_size) so the chain shape —
+ceil(n_splits / wave_size) snapshots, wave k covering the k-th chunk of
+the sorted split ids — is corpus-independent: run_resumable processes
+``sorted(set(range(n_splits)) - done)`` chunked by wave_size
+(plans/checkpoint.py), which on a fresh run is exactly sequential
+chunking.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+CACHE_ENV = "SPARK_GRAFT_SNAPSTORE_DIR"
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SNAPSTORE_N_SPLITS = 16
+SNAPSTORE_WAVE_SIZE = 3  # -> ceil(16/3) = 6 snapshots, ragged tail
+
+
+def cache_path(sf_dir: str) -> str:
+    root = os.environ.get(CACHE_ENV) or os.path.join(
+        _REPO, ".bench", "snapstore"
+    )
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(ap, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        stamp = "na"
+    key = f"{ap.replace(os.sep, '_')}-{stamp}"
+    return os.path.join(root, key)
+
+
+def snapshot_run_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) a real resumable extraction run for sf_dir
+    and return its output dir — snapshots/ carries the committed
+    snap-*.json chain the maintenance queries parse."""
+    from ragflow_spark.plans.checkpoint import run_resumable
+    from ragflow_spark.sources.cachefs import atomic_materialize
+    from ragflow_spark.sources.pages import synthesize_pages
+
+    def write(tmp: str) -> None:
+        pages = synthesize_pages(spark, sf_dir)
+        run_resumable(
+            spark,
+            pages,
+            tmp,
+            run_id="snapstore",
+            n_splits=SNAPSTORE_N_SPLITS,
+            wave_size=SNAPSTORE_WAVE_SIZE,
+        )
+        # run_resumable leaves _SUCCESS inside extracted/; the cache
+        # probe wants one at the run root
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return atomic_materialize(cache_path(sf_dir), write)

@@ -306,3 +306,30 @@ def test_bpe_encode_stats_hand_checked(spark, tmp_path):
         .itertuples(index=False)
     )
     assert orc == want
+
+
+def test_snapshot_retention_reads_the_real_chain(spark, sf_dir, tmp_path, monkeypatch):
+    """The retention plan must derive from the MATERIALIZED snap-*.json
+    files, not re-synthesize the chain: deleting one snapshot file
+    from the cached run drops exactly that row from the plan (and the
+    bit_xor split signatures match the wave chunking)."""
+    import os
+
+    import __spark_entry__ as em
+
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSTORE_DIR", str(tmp_path / "snapstore"))
+    q = em.queries()["snapshot_retention_plan"]
+    rows = {r.snapshot_id: r for r in q(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6]
+    assert rows[1].splits_sig == 0 ^ 1 ^ 2
+    assert rows[6].n_splits_added == 1  # ragged 16th split
+    assert [rows[i].expired for i in sorted(rows)] == [
+        True, True, True, False, False, False,
+    ]
+
+    from ragflow_spark.sources.snapstore import cache_path
+
+    victim = os.path.join(cache_path(sf_dir), "snapshots", "snap-000004.json")
+    os.remove(victim)
+    after = {r.snapshot_id for r in q(spark, sf_dir).collect()}
+    assert after == {1, 2, 3, 5, 6}
