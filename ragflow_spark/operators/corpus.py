@@ -1080,11 +1080,13 @@ _CRAWL_DIFF_ORACLE = f"""
            bit_xor(CASE WHEN hp IS NOT NULL AND hc IS NOT NULL
                              AND hp != hc THEN doc_id END)::BIGINT
              AS changed_sig,
-           round((sum(CASE WHEN hp IS NULL THEN 1 ELSE 0 END)
-                  + sum(CASE WHEN hc IS NULL THEN 1 ELSE 0 END)
-                  + sum(CASE WHEN hp IS NOT NULL AND hc IS NOT NULL
-                                  AND hp != hc THEN 1 ELSE 0 END)) * 1.0
-                 / count(hc), 4) AS churn_ratio
+           CASE WHEN count(hc) > 0 THEN
+             round((sum(CASE WHEN hp IS NULL THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN hc IS NULL THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN hp IS NOT NULL AND hc IS NOT NULL
+                                    AND hp != hc THEN 1 ELSE 0 END)) * 1.0
+                   / count(hc), 4)
+           END AS churn_ratio
     FROM j GROUP BY source
     """
 
@@ -1141,20 +1143,29 @@ def crawl_snapshot_diff(spark, sf_dir):
         F.sum(F.col("hp").isNull().cast("long")).alias("added"),
         F.sum(F.col("hc").isNull().cast("long")).alias("removed"),
         F.sum(is_changed.cast("long")).alias("changed"),
-        F.sum((F.col("hp") == F.col("hc")).cast("long")).alias("unchanged"),
+        # count(when(...)) not sum(cast): a source with zero
+        # both-present rows must yield 0 like the oracle's ELSE 0,
+        # not the NULL a sum over all-NULL comparisons returns
+        F.count(F.when(F.col("hp") == F.col("hc"), 1)).alias("unchanged"),
         F.expr(
             "bit_xor(case when hp is not null and hc is not null "
             "and hp != hc then doc_id end)"
         ).alias("changed_sig"),
-        F.round(
-            (
-                F.sum(F.col("hp").isNull().cast("long"))
-                + F.sum(F.col("hc").isNull().cast("long"))
-                + F.sum(is_changed.cast("long"))
-            )
-            * F.lit(1.0)
-            / F.count("hc"),
-            4,
+        # explicit NULL on an all-removed source: Spark and DuckDB
+        # disagree on float x/0 (NULL vs IEEE inf), so neither side
+        # may reach the division with a zero denominator
+        F.when(
+            F.count("hc") > 0,
+            F.round(
+                (
+                    F.sum(F.col("hp").isNull().cast("long"))
+                    + F.sum(F.col("hc").isNull().cast("long"))
+                    + F.sum(is_changed.cast("long"))
+                )
+                * F.lit(1.0)
+                / F.count("hc"),
+                4,
+            ),
         ).alias("churn_ratio"),
     )
 
@@ -1231,7 +1242,30 @@ def robots_fetch_filter(spark, sf_dir):
         F.regexp_extract("url", "^[a-z]+://[^/]+(/.*)$", 1).alias("path"),
     )
     nn = F.regexp_extract("host", "site(\\d+)", 1).cast("int")
-    rules = pg.select("host").distinct().select(
+    # host list from the documents table's id arithmetic (host_for
+    # mirror), NOT pg.select("host").distinct(): the pages source
+    # renders html through mapInPandas, so a second subtree over it
+    # would re-render every page just to list ~50 hosts — in
+    # production the rule table comes from the robots side channel,
+    # never from scanning the frontier
+    hosts = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.when(
+                F.col("doc_id") % 10 < 3, F.lit("big.example.com")
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("site"),
+                    F.lpad((F.col("doc_id") % 50).cast("string"), 2, "0"),
+                    F.lit(".example.org"),
+                )
+            )
+            .alias("host")
+        )
+        .distinct()
+    )
+    rules = hosts.select(
         "host",
         F.when(F.col("host") == "big.example.com", F.lit("/doc-3"))
         .otherwise(

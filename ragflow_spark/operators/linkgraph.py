@@ -98,19 +98,17 @@ def link_pagerank(spark, sf_dir):
     round re-runs its upstream (the dedup_components invariant)."""
     docs = spread(table(spark, sf_dir, "documents").select("doc_id"))
     n = docs.count()  # 1-row driver scalar (convergence idiom)
-    shifts = F.array(*[F.lit(c) for c in PR_LINK_SHIFTS])
+    # plain 3-element array, NOT transform(lit_array, lambda): Catalyst
+    # doesn't constant-fold higher-order functions and each lambda tree
+    # re-evaluates per row (CLAUDE.md invariant)
+    dsts = F.array(
+        *[
+            (F.col("doc_id") * F.col("doc_id") + F.lit(c)) % F.lit(n)
+            for c in PR_LINK_SHIFTS
+        ]
+    )
     edges = (
-        docs.select(
-            F.col("doc_id").alias("src"),
-            F.explode(
-                F.transform(
-                    shifts,
-                    lambda c: (
-                        F.col("doc_id") * F.col("doc_id") + c
-                    ) % F.lit(n),
-                )
-            ).alias("dst"),
-        )
+        docs.select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
     ).localCheckpoint()
     ranks = docs.select("doc_id", F.lit(1).cast("long").alias("w"))
     for k in range(PR_ROUNDS):

@@ -1408,15 +1408,26 @@ def dataset_shard_manifest(spark, sf_dir):
 BPE_MERGES = 3  # induction steps surfaced (each = one corpus-wide argmax)
 
 
+# Symbol encoding: every symbol is WRAPPED, '(a)(bc)(d)' — not the
+# earlier trailing-separator 'a|bc|d|'. With wrapping, a merge literal
+# '(a)(b)' can only match at a symbol boundary: inside a merged symbol
+# like '(aa)' there is no ')(' to anchor on, so replace('(a)(b)',
+# '(ab)') can never consume the SUFFIX of a previously merged symbol
+# (trailing-separator 'aa|b|' DID contain 'a|b|' — a greedy
+# character-level merge real BPE would never make; round-5 review
+# finding). Adjacent same-pair runs still merge non-overlapping
+# left-to-right: '(a)(a)(a)(a)' -> '(aa)(aa)', which IS the BPE rule.
+
+
 def _bpe_pair_cte(pname: str, vname: str) -> str:
-    """Weighted adjacent-pair counts over a vocab CTE (enc, freq).
-    ``enc`` is 'a|b|c|' (trailing separator), so string_split yields a
-    trailing '' sentinel: symbols live at 1-based [1, len-1] and the
-    range bound len(s)-2 never pairs into the sentinel."""
+    """Weighted adjacent-pair counts over a vocab CTE (enc, freq):
+    strip the outer parens, split on ')(' -> 1-based symbol list."""
     return f"""{pname} AS (
       SELECT s[i + 1] || ' ' || s[i + 2] AS pair, sum(freq) AS cnt
-      FROM (SELECT string_split(enc, '|') AS s, freq FROM {vname}),
-           unnest(range(greatest(len(s) - 2, 0))) AS t(i)
+      FROM (SELECT string_split(substring(enc, 2, len(enc) - 2), ')(')
+              AS s, freq
+            FROM {vname} WHERE len(enc) > 0),
+           unnest(range(greatest(len(s) - 1, 0))) AS t(i)
       GROUP BY pair
     )"""
 
@@ -1426,8 +1437,8 @@ def _bpe_step_ctes(step: int) -> str:
     return f"""{_bpe_pair_cte(p, vprev)},
     {b} AS (SELECT pair, cnt FROM {p} ORDER BY cnt DESC, pair LIMIT 1),
     {vnext} AS (
-      SELECT replace(enc, replace(pair, ' ', '|') || '|',
-                     replace(pair, ' ', '') || '|') AS enc, freq
+      SELECT replace(enc, '(' || replace(pair, ' ', ')(') || ')',
+                     '(' || replace(pair, ' ', '') || ')') AS enc, freq
       FROM {vprev}, {b}
     )"""
 
@@ -1445,7 +1456,7 @@ def _bpe_oracle() -> str:
         FROM documents
       ) GROUP BY word
     ), v0 AS (
-      SELECT regexp_replace(word, '(.)', '\\1|', 'g') AS enc, freq
+      SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS enc, freq
       FROM words
     ),
     {steps}
@@ -1470,11 +1481,13 @@ def bpe_merge_induction(spark, sf_dir):
     step (dedup_components invariant). Each step is one
     (pair, partial-count) Exchange at pair-vocabulary cardinality +
     a 1-ROW driver collect (the convergence-scalar idiom); the merge
-    application is a row-local string replace over 'a|b|c|'-encoded
-    symbols — both engines' replace() is left-to-right
-    non-overlapping, which IS the BPE merge rule ('a a a a' merges to
-    'aa aa', not 'aa a a'; verified cross-engine). Integer counts
-    throughout: no float tie risk."""
+    application is a row-local string replace over '(a)(b)(c)'-WRAPPED
+    symbols — wrapping makes the literal replace SYMBOL-exact (a
+    merge pattern '(a)(b)' cannot anchor inside a merged symbol like
+    '(aa)'; module comment above _bpe_pair_cte), while staying
+    left-to-right non-overlapping, which IS the BPE merge rule
+    ('a a a a' merges to 'aa aa', not 'aa a a'; verified
+    cross-engine). Integer counts throughout: no float tie risk."""
     d = spread(table(spark, sf_dir, "documents")).select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     )
@@ -1482,17 +1495,19 @@ def bpe_merge_induction(spark, sf_dir):
         d.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
-            F.regexp_replace("word", "(.)", "$1|").alias("enc"), "freq"
+            F.regexp_replace("word", "(.)", "($1)").alias("enc"), "freq"
         )
         .localCheckpoint()
     )
     merges = []
     cur = vocab
     for step in range(1, BPE_MERGES + 1):
-        syms = F.split("enc", "\\|")
-        n = F.size(syms) - 1  # trailing '' sentinel
+        syms = F.split(
+            F.expr("substring(enc, 2, length(enc) - 2)"), "\\)\\("
+        )
+        n = F.size(syms)
         pairs = F.when(
-            n >= 2,
+            (F.length("enc") > 0) & (n >= 2),
             F.transform(
                 F.sequence(F.lit(0), n - 2),
                 lambda i: F.concat_ws(
@@ -1520,8 +1535,8 @@ def bpe_merge_induction(spark, sf_dir):
             "enc",
             F.replace(
                 F.col("enc"),
-                F.lit(f"{a}|{b}|"),
-                F.lit(f"{a}{b}|"),
+                F.lit(f"({a})({b})"),
+                F.lit(f"({a}{b})"),
             ),
         )
     return spark.createDataFrame(merges, "step int, merge string, cnt bigint")
@@ -1536,11 +1551,11 @@ def _bpe_encode_oracle() -> str:
     steps = ",\n    ".join(_bpe_step_ctes(s) for s in range(1, BPE_MERGES + 1))
     # nested literal replaces, innermost = merge 1 (application order
     # must match induction order — later merges consume earlier ones)
-    enc = "regexp_replace(lower(text), '([^ ])', '\\1|', 'g')"
+    enc = "regexp_replace(lower(text), '([^ ])', '(\\1)', 'g')"
     for s in range(1, BPE_MERGES + 1):
         enc = (
-            f"replace({enc}, replace(b{s}.pair, ' ', '|') || '|', "
-            f"replace(b{s}.pair, ' ', '') || '|')"
+            f"replace({enc}, '(' || replace(b{s}.pair, ' ', ')(') || ')', "
+            f"'(' || replace(b{s}.pair, ' ', '') || ')')"
         )
     return f"""
     WITH words AS (
@@ -1549,7 +1564,7 @@ def _bpe_encode_oracle() -> str:
         FROM documents
       ) GROUP BY word
     ), v0 AS (
-      SELECT regexp_replace(word, '(.)', '\\1|', 'g') AS enc, freq
+      SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS enc, freq
       FROM words
     ),
     {steps},
@@ -1562,9 +1577,9 @@ def _bpe_encode_oracle() -> str:
     SELECT source,
            count(*)::BIGINT AS n_docs,
            sum(nb)::BIGINT AS syms_before,
-           sum(len(e) - len(replace(e, '|', '')))::BIGINT AS tokens_after,
+           sum(len(e) - len(replace(e, '(', '')))::BIGINT AS tokens_after,
            round(sum(nb) * 1.0
-                 / sum(len(e) - len(replace(e, '|', ''))), 4)
+                 / sum(len(e) - len(replace(e, '(', ''))), 4)
              AS compression
     FROM enc GROUP BY source
     """
@@ -1578,13 +1593,15 @@ def bpe_encode_stats(spark, sf_dir):
     per-source token-count compression a trainer's data loader would
     see (chars-per-token is the standard tokenizer fertility metric).
 
-    Encoding trick: the induction's per-WORD 'a|b|c|' symbol encoding
-    is applied to the whole document in one map pass by encoding every
-    non-space char as 'c|' and keeping spaces as word separators — a
-    merge literal 'a|b|' can never match across a word boundary
-    because the boundary renders as '| ' (the pair pattern has no
-    space), so whole-text replace === per-word replace. Corpus texts
-    are verified '|'-free by synthesis (sources/pages.py alphabet).
+    Encoding trick: the induction's per-WORD '(a)(b)(c)' wrapped
+    symbol encoding is applied to the whole document in one map pass
+    by wrapping every non-space char as '(c)' and keeping spaces as
+    word separators — a merge literal '(a)(b)' can never match across
+    a word boundary (the boundary renders as ') (') nor inside a
+    merged symbol (no ')(' anchor inside '(aa)'; see the module
+    comment above _bpe_pair_cte), so whole-text replace === per-word
+    true-BPE merge application. Corpus texts are verified
+    paren-free by synthesis (sources/pages.py alphabet).
 
     Scale shape: induction collapses the corpus to vocab cardinality
     (see ``bpe_merge_induction``); the learned merges come back to the
@@ -1599,16 +1616,16 @@ def bpe_encode_stats(spark, sf_dir):
         r["merge"]
         for r in bpe_merge_induction(spark, sf_dir).orderBy("step").collect()
     ]
-    enc = F.regexp_replace(F.lower(F.col("text")), "([^ ])", "$1|")
+    enc = F.regexp_replace(F.lower(F.col("text")), "([^ ])", "($1)")
     for m in merges:
         a, b = m.split(" ")
-        enc = F.replace(enc, F.lit(f"{a}|{b}|"), F.lit(f"{a}{b}|"))
+        enc = F.replace(enc, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
     d = spread(table(spark, sf_dir, "documents")).select(
         "source",
         F.length(
             F.replace(F.lower(F.col("text")), F.lit(" "), F.lit(""))
         ).alias("nb"),
-        (F.length(enc) - F.length(F.replace(enc, F.lit("|"), F.lit("")))).alias(
+        (F.length(enc) - F.length(F.replace(enc, F.lit("("), F.lit("")))).alias(
             "na"
         ),
     )

@@ -45,3 +45,37 @@ def atomic_materialize(path: str, write_fn) -> str:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def stamped_cache_path(
+    env_var: str,
+    default_subdir: str,
+    prefix: str,
+    sf_dir: str,
+    extra_key: str = "",
+    suffix: str = "",
+) -> str:
+    """Shared cache-key derivation for the write-once corpus caches
+    (media_store / cdx / snapstore): <root>/<prefix>_<basename>_<md5
+    of (absolute sf_dir, documents.parquet mtime/size, extra_key)>.
+
+    The stamp means a regenerated or same-basename corpus never serves
+    another corpus's artifact; ``extra_key`` must carry every GENERATOR
+    parameter the artifact's shape depends on (e.g. snapstore's
+    n_splits/wave_size), so changing a constant invalidates the cache
+    instead of serving a stale artifact against a recomputed oracle.
+    """
+    import hashlib
+
+    _repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    root = os.environ.get(env_var) or os.path.join(_repo, ".bench", default_subdir)
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(ap, "documents.parquet"))
+        stamp = f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        stamp = "na"
+    digest = hashlib.md5(f"{ap}|{stamp}|{extra_key}".encode()).hexdigest()[:10]
+    return os.path.join(
+        root, f"{prefix}_{os.path.basename(ap)}_{digest}{suffix}"
+    )

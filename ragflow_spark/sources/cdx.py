@@ -29,7 +29,6 @@ query is driver-value-checkable end to end THROUGH the file):
 
 from __future__ import annotations
 
-import hashlib
 import os
 from typing import Iterator
 
@@ -37,7 +36,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CACHE_ENV = "SPARK_GRAFT_CDX_DIR"
 
 N_WARC_FILES = 8
@@ -48,18 +46,12 @@ CDX_JSON_SCHEMA = (
 
 
 def cache_path(sf_dir: str) -> str:
-    """Cache dir for sf_dir's CDXJ lines; keyed like media_store
-    (absolute path + documents.parquet mtime/size) so regenerated or
+    """Cache dir for sf_dir's CDXJ lines; keyed by corpus stamp
+    (sources/cachefs.stamped_cache_path) so regenerated or
     same-basename corpora never serve each other's index."""
-    root = os.environ.get(CACHE_ENV) or os.path.join(_REPO, ".bench", "cdx")
-    ap = os.path.abspath(os.path.normpath(sf_dir))
-    try:
-        st = os.stat(os.path.join(ap, "documents.parquet"))
-        stamp = f"{st.st_mtime_ns}-{st.st_size}"
-    except OSError:
-        stamp = "na"
-    digest = hashlib.md5(f"{ap}|{stamp}".encode()).hexdigest()[:10]
-    return os.path.join(root, f"cdx_{os.path.basename(ap)}_{digest}")
+    from ragflow_spark.sources.cachefs import stamped_cache_path
+
+    return stamped_cache_path(CACHE_ENV, "cdx", "cdx", sf_dir)
 
 
 def _render_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -22,7 +22,6 @@ from typing import Iterator
 
 import pandas as pd
 
-_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CACHE_ENV = "SPARK_GRAFT_MEDIA_DIR"
 
 _GEN_SCHEMA = "doc_id bigint, media binary"
@@ -39,23 +38,15 @@ def _encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def cache_path(sf_dir: str) -> str:
-    """Cache location for sf_dir's media parquet. The key includes a
-    digest of the ABSOLUTE sf_dir plus documents.parquet's mtime/size,
-    so two corpora whose directories share a basename (or a corpus
-    regenerated in place) can never silently serve each other's
-    payload column."""
-    import hashlib
+    """Cache location for sf_dir's media parquet; keyed by corpus
+    stamp (sources/cachefs.stamped_cache_path) so two corpora whose
+    directories share a basename (or a corpus regenerated in place)
+    can never silently serve each other's payload column."""
+    from ragflow_spark.sources.cachefs import stamped_cache_path
 
-    root = os.environ.get(CACHE_ENV) or os.path.join(_REPO, ".bench", "media")
-    ap = os.path.abspath(os.path.normpath(sf_dir))
-    tag = os.path.basename(ap)
-    try:
-        st = os.stat(os.path.join(ap, "documents.parquet"))
-        stamp = f"{st.st_mtime_ns}-{st.st_size}"
-    except OSError:
-        stamp = "na"
-    digest = hashlib.md5(f"{ap}|{stamp}".encode()).hexdigest()[:10]
-    return os.path.join(root, f"media_{tag}_{digest}.parquet")
+    return stamped_cache_path(
+        CACHE_ENV, "media", "media", sf_dir, suffix=".parquet"
+    )
 
 
 def media_parquet(spark, sf_dir: str) -> str:

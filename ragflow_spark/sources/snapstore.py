@@ -19,24 +19,25 @@ import os
 from pyspark.sql import SparkSession
 
 CACHE_ENV = "SPARK_GRAFT_SNAPSTORE_DIR"
-_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SNAPSTORE_N_SPLITS = 16
 SNAPSTORE_WAVE_SIZE = 3  # -> ceil(16/3) = 6 snapshots, ragged tail
 
 
 def cache_path(sf_dir: str) -> str:
-    root = os.environ.get(CACHE_ENV) or os.path.join(
-        _REPO, ".bench", "snapstore"
+    """Keyed by corpus stamp AND the run-shape constants: the cached
+    chain is a function of (corpus, n_splits, wave_size), so bumping a
+    constant must invalidate the cache rather than serve a 6-snapshot
+    chain against an oracle recomputed for a different shape."""
+    from ragflow_spark.sources.cachefs import stamped_cache_path
+
+    return stamped_cache_path(
+        CACHE_ENV,
+        "snapstore",
+        "snap",
+        sf_dir,
+        extra_key=f"{SNAPSTORE_N_SPLITS}-{SNAPSTORE_WAVE_SIZE}",
     )
-    ap = os.path.abspath(os.path.normpath(sf_dir))
-    try:
-        st = os.stat(os.path.join(ap, "documents.parquet"))
-        stamp = f"{st.st_mtime_ns}-{st.st_size}"
-    except OSError:
-        stamp = "na"
-    key = f"{ap.replace(os.sep, '_')}-{stamp}"
-    return os.path.join(root, key)
 
 
 def snapshot_run_dir(spark: SparkSession, sf_dir: str) -> str:

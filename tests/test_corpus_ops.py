@@ -333,3 +333,57 @@ def test_snapshot_retention_reads_the_real_chain(spark, sf_dir, tmp_path, monkey
     os.remove(victim)
     after = {r.snapshot_id for r in q(spark, sf_dir).collect()}
     assert after == {1, 2, 3, 5, 6}
+
+
+def test_bpe_merge_cannot_cross_merged_symbol_boundary(spark, tmp_path):
+    """Round-5 review regression: with merges ('a a', 'a b') learned,
+    word 'aab' must encode as [aa, b] — merge 2 must NOT anchor on the
+    character suffix of the merged symbol 'aa' (the trailing-separator
+    encoding did: 'aa|b|' contains 'a|b|'). Under the wrapped encoding
+    the corpus 'aa aa aa aab ab' therefore induces a THIRD merge
+    ('aa b') and encodes to exactly 5 tokens / 11 chars, on BOTH
+    engines."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa aab ab", "en", "src0", 15)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.write.parquet(str(sf / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+
+    want_merges = [(1, "a a", 4), (2, "a b", 1), (3, "aa b", 1)]
+    got = sorted(
+        tuple(r)
+        for r in em.queries()["bpe_merge_induction"](spark, str(sf)).collect()
+    )
+    assert got == want_merges
+    orc = sorted(
+        tuple(r)
+        for r in con.sql(em.oracle_sql()["bpe_merge_induction"])
+        .df()
+        .itertuples(index=False)
+    )
+    assert orc == want_merges
+
+    want_enc = [("src0", 1, 11, 5, 2.2)]
+    got_e = [
+        tuple(r)
+        for r in em.queries()["bpe_encode_stats"](spark, str(sf)).collect()
+    ]
+    assert got_e == want_enc
+    orc_e = [
+        tuple(r)
+        for r in con.sql(em.oracle_sql()["bpe_encode_stats"])
+        .df()
+        .itertuples(index=False)
+    ]
+    assert orc_e == want_enc
