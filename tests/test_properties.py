@@ -206,3 +206,105 @@ def test_corpus_bits_formulas_match_duckdb():
             [float(n)],
         ).fetchone()
         assert qp == query_planes(n), f"query_planes({n})"
+
+
+# ------------------------------------------------- BPE string semantics
+#
+# The bpe_merge_induction / bpe_encode_stats operators run their merge
+# application as a literal string replace over '(a)(b)(c)'-wrapped
+# symbols, identically on Spark and DuckDB (Python str.replace has the
+# same left-to-right non-overlapping semantics). These properties prove
+# that the STRING form is exactly Sennrich-BPE by checking it against
+# an independent symbol-LIST reference over random corpora — including
+# the suffix-crossing class ('aab' after merges (a,a),(a,b)) that broke
+# the earlier trailing-separator encoding.
+
+_BPE_WORDS = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=8
+)
+
+
+def _list_merge(sym, a, b):
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _bpe_reference(words, k=3):
+    """Symbol-list Sennrich BPE: weighted pair counts, argmax
+    (cnt DESC, 'a b' string ASC), greedy left-to-right merge."""
+    from collections import Counter
+
+    vocab = Counter(words)
+    enc = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, k + 1):
+        pairs = Counter()
+        for w, f in vocab.items():
+            s = enc[w]
+            for i in range(len(s) - 1):
+                pairs[f"{s[i]} {s[i+1]}"] += f
+        if not pairs:
+            break
+        pair, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, pair, cnt))
+        a, b = pair.split(" ")
+        for w in enc:
+            enc[w] = _list_merge(enc[w], a, b)
+    return merges, enc
+
+
+def _bpe_string_mirror(words, k=3):
+    """The operators' exact cross-engine semantics: wrapped encoding +
+    literal replace (Python str.replace == Spark F.replace == DuckDB
+    replace for left-to-right non-overlapping literal substitution)."""
+    from collections import Counter
+
+    vocab = Counter(words)
+    enc = {w: "".join(f"({c})" for c in w) for w in vocab}
+    merges = []
+    for step in range(1, k + 1):
+        pairs = Counter()
+        for w, f in vocab.items():
+            syms = enc[w][1:-1].split(")(")
+            for i in range(len(syms) - 1):
+                pairs[f"{syms[i]} {syms[i+1]}"] += f
+        if not pairs:
+            break
+        pair, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, pair, cnt))
+        a, b = pair.split(" ")
+        for w in enc:
+            enc[w] = enc[w].replace(f"({a})({b})", f"({a}{b})")
+    return merges, enc
+
+
+@given(_BPE_WORDS)
+@settings(max_examples=300, deadline=None)
+def test_bpe_string_replace_is_exact_sennrich(words):
+    ref_m, ref_e = _bpe_reference(words)
+    mir_m, mir_e = _bpe_string_mirror(words)
+    assert mir_m == ref_m
+    for w in ref_e:
+        mir_syms = mir_e[w][1:-1].split(")(")
+        assert mir_syms == ref_e[w], (w, mir_syms, ref_e[w])
+
+
+@given(_BPE_WORDS)
+@settings(max_examples=300, deadline=None)
+def test_bpe_whole_text_encode_equals_per_word(words):
+    """The encode operator applies the learned merges to the WHOLE
+    space-joined text in one replace chain; that must equal encoding
+    each word independently (merges cannot cross the ') (' boundary)."""
+    merges, per_word = _bpe_string_mirror(words)
+    text_enc = " ".join("".join(f"({c})" for c in w) for w in words)
+    for _, pair, _ in merges:
+        a, b = pair.split(" ")
+        text_enc = text_enc.replace(f"({a})({b})", f"({a}{b})")
+    assert text_enc == " ".join(per_word[w] for w in words)
