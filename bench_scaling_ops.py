@@ -14,10 +14,13 @@ ambient load, and efficiency is min-based across runs. Every child
 samples the ambient bracket (bench_ambient.py) so a dirty window is
 visible in the published block.
 
-Caveat stated in the output: at sf0.1 these queries run ~1-8 s, so
-fixed per-action costs (planning, codegen, session) are a visible
-fraction of the wall; constant overhead inflates both levels equally
-and UNDERSTATES efficiency — the numbers are floors, not points.
+The corpus is amplified AMPLIFY-fold (tagged replicas) so per-task
+work dominates fixed per-action costs: at raw sf0.1 the queries run
+~0.5-3 s and planning/codegen/driver-collect latency — identical at
+both levels — crushes the ratio (measured: 0.18-0.52 "efficiency" at
+1x, pure floor artifact). Even amplified, any residual fixed cost
+still UNDERSTATES efficiency, so the published numbers are floors,
+not points.
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ RUNS = 3
 # (BENCH ambient note: after kernel speedups, keep the scaling workload
 # big enough that per-task work dominates fixed overhead) — 8 replicas
 # with a per-replica tag word so exact-dup buckets don't explode
-AMPLIFY = int(os.environ.get("SPARK_GRAFT_SCALOPS_AMPLIFY", "8"))
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_SCALOPS_AMPLIFY", "32"))
 QUERIES = (
     "dedup_minhash_lsh",
     "inverted_index_stats",
