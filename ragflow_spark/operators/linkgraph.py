@@ -135,3 +135,64 @@ def link_pagerank(spark, sf_dir):
             "score"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# link_degree_profile
+# --------------------------------------------------------------------------
+
+
+def _degree_oracle() -> str:
+    shifts = ", ".join(f"({c})" for c in PR_LINK_SHIFTS)
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+      SELECT (doc_id * doc_id + c) % nn.n AS dst
+      FROM documents, nn, (VALUES {shifts}) t(c)
+    ), indeg AS (
+      SELECT d.doc_id, count(e.dst)::BIGINT AS ind
+      FROM documents d LEFT JOIN edges e ON d.doc_id = e.dst
+      GROUP BY d.doc_id
+    )
+    SELECT ind AS indegree,
+           count(*)::BIGINT AS n_nodes,
+           round(count(*) * 1.0 / (SELECT n FROM nn), 4) AS share,
+           bit_xor(doc_id)::BIGINT AS nodes_sig
+    FROM indeg GROUP BY ind
+    """
+
+
+@register("link_degree_profile", oracle=_degree_oracle())
+def link_degree_profile(spark, sf_dir):
+    """In-degree distribution of the link graph — the degree-histogram
+    audit run next to any centrality job (web graphs are power-law;
+    the histogram is how you notice a crawler trap or a link farm
+    before PageRank amplifies it). Shares link_pagerank's edge
+    synthesis; per in-degree bucket: node count, corpus share, and a
+    bit_xor node-set signature — zero-indegree nodes included via the
+    left join, so the whole node space is accounted for.
+
+    Scale shape: edges are ids-only from the scan; one (dst, partial
+    count) Exchange at node cardinality, one ids-only left join, one
+    histogram rollup whose cardinality is bounded by the max
+    in-degree (tiny). No payloads anywhere."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id"))
+    n = docs.count()
+    dsts = F.array(
+        *[
+            (F.col("doc_id") * F.col("doc_id") + F.lit(c)) % F.lit(n)
+            for c in PR_LINK_SHIFTS
+        ]
+    )
+    edges = docs.select(F.explode(dsts).alias("dst"))
+    per_dst = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("cnt"))
+    indeg = docs.join(per_dst, docs.doc_id == per_dst.dst, "left").select(
+        "doc_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("ind")
+    )
+    return indeg.groupBy("ind").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.count(F.lit(1)) * F.lit(1.0) / F.lit(n), 4).alias("share"),
+        F.expr("bit_xor(doc_id)").alias("nodes_sig"),
+    ).select(
+        F.col("ind").alias("indegree"), "n_nodes", "share", "nodes_sig"
+    )

@@ -48,6 +48,7 @@ PRIORITY_HEAD = [
     "quality_filter_agreement",
     "compaction_plan",
     "snapshot_retention_plan",
+    "link_degree_profile",
     "dedup_substring",
     "dedup_substring_trim",
     "pack_sequences_sharded",

@@ -43,3 +43,41 @@ def test_pagerank_hand_checked_and_mass_conserving(spark, tmp_path):
         .itertuples(index=False)
     ]
     assert orc == want
+
+
+def test_degree_profile_accounts_for_every_edge_and_node(spark, tmp_path):
+    """Edge conservation: sum(indegree * n_nodes) == 3N (every one of
+    the 3N synthesized edges lands on a real node) and
+    sum(n_nodes) == N (zero-indegree nodes included). N=4 graph from
+    the pagerank hand test: nodes 1,2 have indegree 6; 0,3 have 0."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.write.parquet(str(sf / "documents.parquet"))
+    rows = sorted(
+        tuple(r)
+        for r in em.queries()["link_degree_profile"](spark, str(sf)).collect()
+    )
+    want = [(0, 2, 0.5, 0 ^ 3), (6, 2, 0.5, 1 ^ 2)]
+    assert rows == want
+    assert sum(ind * n for ind, n, _, _ in rows) == 3 * 4
+    assert sum(n for _, n, _, _ in rows) == 4
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    orc = sorted(
+        tuple(r)
+        for r in con.sql(em.oracle_sql()["link_degree_profile"])
+        .df()
+        .itertuples(index=False)
+    )
+    assert orc == want
