@@ -387,3 +387,64 @@ def test_bpe_merge_cannot_cross_merged_symbol_boundary(spark, tmp_path):
         .itertuples(index=False)
     ]
     assert orc_e == want_enc
+
+
+def test_crawl_diff_degenerate_sources_match_cross_engine(spark, tmp_path):
+    """The review-added guards for degenerate sources, unreachable at
+    the test scale factors: a source whose every page vanished from
+    the current crawl (n_curr = 0 -> churn_ratio NULL on BOTH engines,
+    not inf) and a source that only exists in the current crawl
+    (no both-present rows -> unchanged = 0, not NULL). doc_ids chosen
+    against the drop moduli: 5/28/51 are all == 5 (mod 23) and none
+    == 3 (mod 19); 3/22/41 the reverse."""
+    import duckdb
+    import math
+
+    import __spark_entry__ as em
+
+    rows = [
+        # 'gone': prev-only (dropped from curr by doc_id % 23 == 5)
+        *[(i, f"t{i} x", "en", "gone", 4) for i in (5, 28, 51)],
+        # 'newsrc': curr-only (dropped from prev by doc_id % 19 == 3)
+        *[(i, f"t{i} y", "en", "newsrc", 4) for i in (3, 22, 41)],
+        # a normal source so the query has ordinary rows too
+        *[(i, f"t{i} z", "en", "both", 4) for i in (0, 1, 2)],
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.write.parquet(str(sf / "documents.parquet"))
+
+    got = {
+        r["source"]: r.asDict()
+        for r in em.queries()["crawl_snapshot_diff"](spark, str(sf)).collect()
+    }
+    assert got["gone"]["n_curr"] == 0 and got["gone"]["removed"] == 3
+    assert got["gone"]["unchanged"] == 0 and got["gone"]["changed"] == 0
+    assert got["gone"]["churn_ratio"] is None  # NOT inf, NOT NaN
+    assert got["newsrc"]["n_prev"] == 0 and got["newsrc"]["added"] == 3
+    assert got["newsrc"]["unchanged"] == 0  # count(when), not NULL sum
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    orc = {
+        r["source"]: dict(r)
+        for _, r in con.sql(em.oracle_sql()["crawl_snapshot_diff"])
+        .df()
+        .iterrows()
+    }
+    for src_name in ("gone", "newsrc", "both"):
+        g, o = got[src_name], orc[src_name]
+        for k in ("n_prev", "n_curr", "added", "removed", "changed", "unchanged"):
+            assert int(g[k]) == int(o[k]), (src_name, k, g[k], o[k])
+        gc, oc = g["churn_ratio"], o["churn_ratio"]
+        if gc is None:
+            assert oc is None or (isinstance(oc, float) and math.isnan(oc))
+        else:
+            assert abs(gc - oc) < 1e-9, (src_name, gc, oc)
