@@ -12,6 +12,7 @@ from ragflow_spark.operators import (  # noqa: F401
     dedup,
     events,
     extraction,
+    hll,
     linkgraph,
     multimodal,
     relational,

@@ -448,3 +448,76 @@ def test_crawl_diff_degenerate_sources_match_cross_engine(spark, tmp_path):
             assert oc is None or (isinstance(oc, float) and math.isnan(oc))
         else:
             assert abs(gc - oc) < 1e-9, (src_name, gc, oc)
+
+
+def test_hll_registers_match_python_reference(spark, tmp_path):
+    """Register-exact differential for hll_cardinality: a pure-Python
+    HyperLogLog (md5 -> idx/rho -> max per register -> Flajolet raw
+    estimate with the Heule small-range branch) over a crafted corpus
+    must reproduce the Spark pipeline's estimate to the 4-decimal
+    rounding on every source, and the exact twin must equal the true
+    distinct-text count — including a single-text source (cardinality
+    1, all-but-one register empty) and a heavy-dup source whose
+    distinct count is far below its row count."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as em
+    from ragflow_spark.operators.hll import HLL_M, _RAW_NUMER, _SMALL_RANGE
+
+    texts, sources = [], []
+    # 'wide': 120 distinct texts; 'dup': 90 rows over 6 distinct
+    # texts; 'one': 40 copies of a single text.
+    for i in range(120):
+        texts.append(f"wide text {i} alpha")
+        sources.append("wide")
+    for i in range(90):
+        texts.append(f"dup text {i % 6} beta")
+        sources.append("dup")
+    for _ in range(40):
+        texts.append("the one constant page")
+        sources.append("one")
+    d = _write_documents(tmp_path, texts, sources=sources)
+
+    got = {
+        r["source"]: r.asDict()
+        for r in em.queries()["hll_cardinality"](spark, d).collect()
+    }
+
+    expected_exact = {"wide": 120, "dup": 6, "one": 1}
+    for src, rows in (("wide", 120), ("dup", 6), ("one", 1)):
+        assert got[src]["n_exact"] == expected_exact[src]
+
+    # pure-Python reference sketch per source
+    regs = {s: [0] * HLL_M for s in expected_exact}
+    seen = {s: set() for s in expected_exact}
+    for t, s in zip(texts, sources):
+        if t in seen[s]:
+            continue
+        seen[s].add(t)
+        h = hashlib.md5(t.encode()).hexdigest()
+        idx = int(h[:2], 16) % HLL_M
+        w60 = int(h[2:17], 16)
+        rho = 61 if w60 == 0 else 61 - w60.bit_length()
+        regs[s][idx] = max(regs[s][idx], rho)
+    for src in expected_exact:
+        denom = sum(1 << (61 - m) for m in regs[src])
+        e_raw = _RAW_NUMER / float(denom)
+        v = sum(1 for m in regs[src] if m == 0)
+        est = (
+            HLL_M * math.log(HLL_M / v)
+            if (e_raw <= _SMALL_RANGE and v > 0)
+            else e_raw
+        )
+        assert got[src]["v_empty"] == v
+        assert got[src]["max_rho"] == max(regs[src])
+        assert got[src]["hll_estimate"] == pytest.approx(
+            round(est, 4), abs=1e-4
+        )
+        assert got[src]["rel_err"] == pytest.approx(
+            round(abs(est - expected_exact[src]) / expected_exact[src], 4),
+            abs=1e-4,
+        )
+    # the crafted corpus must exercise the small-range branch at least
+    # once (the 'one' source cannot avoid it: 63 empty registers)
+    assert got["one"]["v_empty"] == HLL_M - 1
