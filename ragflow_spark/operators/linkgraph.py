@@ -196,3 +196,93 @@ def link_degree_profile(spark, sf_dir):
     ).select(
         F.col("ind").alias("indegree"), "n_nodes", "share", "nodes_sig"
     )
+
+
+# --------------------------------------------------------------------------
+# anchor_text_stats
+# --------------------------------------------------------------------------
+
+
+def _anchor_oracle() -> str:
+    shifts = ", ".join(f"({c})" for c in PR_LINK_SHIFTS)
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    src AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    edges AS (
+      SELECT (doc_id * doc_id + c) % nn.n AS dst,
+             ws[((doc_id + c) % len(ws))::INT + 1] AS term
+      FROM src, nn, (VALUES {shifts}) t(c)
+    ), cnt AS (
+      SELECT dst, term, count(*) AS c FROM edges GROUP BY dst, term
+    ), win AS (
+      SELECT dst, term, c,
+             row_number() OVER (
+               PARTITION BY dst ORDER BY c DESC, term ASC
+             ) AS rn
+      FROM cnt
+    )
+    SELECT term AS top_anchor,
+           count(*)::BIGINT AS n_pages,
+           sum(c)::BIGINT AS n_anchor_hits,
+           bit_xor(dst)::BIGINT AS pages_sig
+    FROM win WHERE rn = 1 GROUP BY term
+    """
+
+
+@register("anchor_text_stats", oracle=_anchor_oracle())
+def anchor_text_stats(spark, sf_dir):
+    """Anchor-text aggregation over the link graph — the indexing
+    signal the MapReduce paper itself shipped as its worked example
+    (Dean & Ghemawat 2004 §2.1 lists it next to inverted indexing;
+    Brin & Page 1998 §2.2 is why: anchor words describe the TARGET
+    page better than its own text). Each synthesized edge carries one
+    anchor term drawn deterministically from the SOURCE document's
+    words (word index (src + shift) mod n_words, the same id
+    arithmetic as the edge targets); per target page the winning
+    anchor is the (count DESC, term ASC) argmax, and the output rolls
+    the winners up into a per-term histogram: how many pages each
+    term describes, total winning-anchor hits, bit_xor page-set
+    signature.
+
+    Scale shape (10^11 edges): the (dst, term) pair stream is ids +
+    short tokens only — source TEXT never leaves its partition (the
+    anchor word is plucked at the scan) — and the per-pair count gets
+    map-side partial aggregation before its Exchange. The per-target
+    argmax window partitions by dst (node cardinality, never global),
+    and the final histogram is bounded by anchor vocabulary. This is
+    the one linkgraph operator whose shuffle carries more than ids —
+    by exactly one token per edge, which is the op's irreducible
+    payload."""
+    from pyspark.sql import Window
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n = docs.count()  # 1-row driver scalar (pagerank idiom)
+    words = F.split(F.col("text"), " ")
+    pairs = F.array(
+        *[
+            F.struct(
+                ((F.col("doc_id") * F.col("doc_id") + F.lit(c)) % F.lit(n)).alias(
+                    "dst"
+                ),
+                F.element_at(
+                    words,
+                    ((F.col("doc_id") + F.lit(c)) % F.size(words)).cast("int")
+                    + 1,
+                ).alias("term"),
+            )
+            for c in PR_LINK_SHIFTS
+        ]
+    )
+    edges = docs.select(F.explode(pairs).alias("e")).select("e.dst", "e.term")
+    cnt = edges.groupBy("dst", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("term"))
+    winners = cnt.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return winners.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("c").alias("n_anchor_hits"),
+        F.expr("bit_xor(dst)").alias("pages_sig"),
+    ).select(
+        F.col("term").alias("top_anchor"), "n_pages", "n_anchor_hits", "pages_sig"
+    )

@@ -81,3 +81,42 @@ def test_degree_profile_accounts_for_every_edge_and_node(spark, tmp_path):
         .itertuples(index=False)
     )
     assert orc == want
+
+
+def test_anchor_winners_hand_checked_with_tiebreak(spark, tmp_path):
+    """N=4 graph, each doc's text is 3 unique words ("aI bI cI"), so
+    every anchor pluck is hand-computable: shifts (1,17,29) index
+    words (i+1)%3, (i+2)%3, (i+2)%3 of source i, and all of source
+    i's edges collapse onto one target (pagerank hand test). dst 1
+    receives {c0:2, b0:1, a2:1, b2:2} -> count tie 2-2 broken by
+    term ASC to "b2"; dst 2 receives {a1:2, c1:1, b3:1, c3:2} ->
+    "a1". Both engines."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i}", "en", "s", 8) for i in range(4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.write.parquet(str(sf / "documents.parquet"))
+    want = sorted([("a1", 1, 2, 2), ("b2", 1, 2, 1)])
+    got = sorted(
+        tuple(r)
+        for r in em.queries()["anchor_text_stats"](spark, str(sf)).collect()
+    )
+    assert got == want
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    orc = sorted(
+        tuple(r)
+        for r in con.sql(em.oracle_sql()["anchor_text_stats"])
+        .df()
+        .itertuples(index=False)
+    )
+    assert orc == want
