@@ -1214,6 +1214,46 @@ _ROBOTS_ORACLE = f"""
     """
 
 
+def _robots_rules(spark, sf_dir):
+    """Per-host robots rule table (one Disallow prefix + Crawl-delay
+    per host, module comment above has the arithmetic), shared by the
+    compliance gate and the frontier scheduler. Host list from the
+    documents table's id arithmetic (host_for mirror), NOT from the
+    pages source: the pages source renders html through mapInPandas,
+    so a second subtree over it would re-render every page just to
+    list ~50 hosts — in production the rule table comes from the
+    robots-fetch side channel, never from scanning the frontier."""
+    nn = F.regexp_extract("host", "site(\\d+)", 1).cast("int")
+    hosts = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.when(
+                F.col("doc_id") % 10 < 3, F.lit("big.example.com")
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("site"),
+                    F.lpad((F.col("doc_id") % 50).cast("string"), 2, "0"),
+                    F.lit(".example.org"),
+                )
+            )
+            .alias("host")
+        )
+        .distinct()
+    )
+    return hosts.select(
+        "host",
+        F.when(F.col("host") == "big.example.com", F.lit("/doc-3"))
+        .otherwise(
+            F.concat(F.lit("/doc-"), (nn % 10).cast("string"))
+        )
+        .alias("disallow_prefix"),
+        F.when(F.col("host") == "big.example.com", F.lit(1))
+        .otherwise(F.lit(1) + nn % 5)
+        .alias("crawl_delay_s"),
+    )
+
+
 @register("robots_fetch_filter", oracle=_ROBOTS_ORACLE)
 def robots_fetch_filter(spark, sf_dir):
     """Robots.txt compliance over the fetch frontier — the politeness
@@ -1241,41 +1281,7 @@ def robots_fetch_filter(spark, sf_dir):
         host_of(F.col("url")).alias("host"),
         F.regexp_extract("url", "^[a-z]+://[^/]+(/.*)$", 1).alias("path"),
     )
-    nn = F.regexp_extract("host", "site(\\d+)", 1).cast("int")
-    # host list from the documents table's id arithmetic (host_for
-    # mirror), NOT pg.select("host").distinct(): the pages source
-    # renders html through mapInPandas, so a second subtree over it
-    # would re-render every page just to list ~50 hosts — in
-    # production the rule table comes from the robots side channel,
-    # never from scanning the frontier
-    hosts = (
-        table(spark, sf_dir, "documents")
-        .select(
-            F.when(
-                F.col("doc_id") % 10 < 3, F.lit("big.example.com")
-            )
-            .otherwise(
-                F.concat(
-                    F.lit("site"),
-                    F.lpad((F.col("doc_id") % 50).cast("string"), 2, "0"),
-                    F.lit(".example.org"),
-                )
-            )
-            .alias("host")
-        )
-        .distinct()
-    )
-    rules = hosts.select(
-        "host",
-        F.when(F.col("host") == "big.example.com", F.lit("/doc-3"))
-        .otherwise(
-            F.concat(F.lit("/doc-"), (nn % 10).cast("string"))
-        )
-        .alias("disallow_prefix"),
-        F.when(F.col("host") == "big.example.com", F.lit(1))
-        .otherwise(F.lit(1) + nn % 5)
-        .alias("crawl_delay_s"),
-    )
+    rules = _robots_rules(spark, sf_dir)
     j = pg.join(F.broadcast(rules), "host")
     blocked = F.col("path").startswith(F.col("disallow_prefix"))
     return (
@@ -1296,4 +1302,122 @@ def robots_fetch_filter(spark, sf_dir):
                 "fetch_eta_s"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# fetch_schedule
+# --------------------------------------------------------------------------
+
+_FETCH_SCHEDULE_ORACLE = f"""
+    WITH frontier AS (
+      SELECT doc_id, {_URL_HOST_SQL} AS host,
+             '/doc-' || doc_id AS path,
+             'https://' || {_URL_HOST_SQL} || '/doc-' || doc_id AS url
+      FROM documents
+    ), rules AS (
+      SELECT host,
+             CASE WHEN host = 'big.example.com' THEN '/doc-3'
+                  ELSE '/doc-' ||
+                       (regexp_extract(host, 'site(\\d+)', 1)::INT % 10)
+             END AS disallow_prefix,
+             CASE WHEN host = 'big.example.com' THEN 1
+                  ELSE 1 + regexp_extract(host, 'site(\\d+)', 1)::INT % 5
+             END AS crawl_delay_s
+      FROM (SELECT DISTINCT host FROM frontier)
+    ), allowed AS (
+      SELECT f.doc_id, f.host, r.crawl_delay_s,
+             ('0x' || substr(md5(f.url), 1, 8))::BIGINT AS priority
+      FROM frontier f JOIN rules r USING (host)
+      WHERE NOT starts_with(f.path, r.disallow_prefix)
+    ), slotted AS (
+      SELECT doc_id, host, crawl_delay_s, priority,
+             row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, doc_id ASC
+             ) - 1 AS slot
+      FROM allowed
+    )
+    SELECT host,
+           max(crawl_delay_s)::BIGINT AS crawl_delay_s,
+           count(*)::BIGINT AS n_scheduled,
+           max(slot * crawl_delay_s)::BIGINT AS makespan_s,
+           max(CASE WHEN slot = 0 THEN doc_id END)::BIGINT AS first_doc,
+           bit_xor(doc_id * (slot + 1))::BIGINT AS sched_sig
+    FROM slotted GROUP BY host
+    """
+
+
+@register("fetch_schedule", oracle=_FETCH_SCHEDULE_ORACLE)
+def fetch_schedule(spark, sf_dir):
+    """Frontier fetch scheduling — the Mercator back-end-queue stage
+    (Heydon & Najork 1999 §3.2; the URL frontier in every production
+    crawler) that sits between the politeness gate
+    (robots_fetch_filter, whose rule table this shares via
+    ``_robots_rules``) and the fetchers: Disallow'd paths drop out,
+    every allowed url gets a deterministic md5-derived priority, and
+    each host serializes its fetches into slots (one fetch per
+    Crawl-delay interval — the host IS the queue). Per host:
+    scheduled-url count, the makespan implied by the last slot, the
+    slot-0 winner, and a bit_xor signature binding every url to its
+    slot so any two engines computing a different schedule disagree
+    loudly.
+
+    Scale shape (10^9-url frontier): the frontier is id arithmetic
+    from the scan (in production the discovered-links store — a url
+    list, never the html corpus); the ~10^7-row rule table broadcasts
+    (robots_fetch_filter's story), so blocked urls die map-side; the
+    one Exchange partitions by HOST for the slot window — per-host
+    queues, never a global sort — and AQE's skew handling covers the
+    viral-host partition the same way extraction's salting does
+    (makespan, not partition size, is the skewed host's real cost:
+    the schedule says so via crawl_delay * n)."""
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id"))
+    host = (
+        F.when(F.col("doc_id") % 10 < 3, F.lit("big.example.com"))
+        .otherwise(
+            F.concat(
+                F.lit("site"),
+                F.lpad((F.col("doc_id") % 50).cast("string"), 2, "0"),
+                F.lit(".example.org"),
+            )
+        )
+    )
+    frontier = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("/doc-"), F.col("doc_id").cast("string")).alias("path"),
+    ).withColumn(
+        "url", F.concat(F.lit("https://"), F.col("host"), F.col("path"))
+    )
+    rules = _robots_rules(spark, sf_dir)
+    allowed = (
+        frontier.join(F.broadcast(rules), "host")
+        .filter(~F.col("path").startswith(F.col("disallow_prefix")))
+        .select(
+            "doc_id",
+            "host",
+            "crawl_delay_s",
+            F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("priority"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    slotted = allowed.withColumn(
+        "slot", F.row_number().over(w) - F.lit(1)
+    )
+    return slotted.groupBy("host").agg(
+        F.max("crawl_delay_s").cast("long").alias("crawl_delay_s"),
+        F.count(F.lit(1)).alias("n_scheduled"),
+        F.max(F.col("slot") * F.col("crawl_delay_s"))
+        .cast("long")
+        .alias("makespan_s"),
+        F.max(F.when(F.col("slot") == 0, F.col("doc_id")))
+        .cast("long")
+        .alias("first_doc"),
+        F.expr("bit_xor(doc_id * (slot + 1))").alias("sched_sig"),
     )

@@ -31,6 +31,17 @@ DRIVER_WINDOW = 50
 # the r3-last-green set MUST be inside r5's window. Queries checked
 # green in r4 may sit out one round.
 PRIORITY_HEAD = [
+    # round-5 fourth-wave additions (never driver-checked). These
+    # displace top_n_limit / rename_projection / contains_filter from
+    # the head: the three most trivial single-operator plans (a limit,
+    # a projection, a filter), unchanged since round 1, r3
+    # driver-green, and still covered every round by the in-repo
+    # replica (tests/driver_sim.py + the sf0.1 parity sweep) — the
+    # cheapest verdicts to spend on first-exposure checks of three
+    # new operators.
+    "hll_cardinality",
+    "anchor_text_stats",
+    "fetch_schedule",
     # round-5 additions (never driver-checked)
     "semdedup",
     "classifier_filter_stats",
@@ -72,19 +83,16 @@ PRIORITY_HEAD = [
     # r3-last-green relational/textops tail
     "anti_join_customers",
     "argmax_count",
-    "contains_filter",
     "error_as_row",
     "intersect_active_segments",
     "lang_id",
     "multirow_fold",
     "quality_score",
-    "rename_projection",
     "split_explode",
     "sql_passthrough",
     "switch_predicates",
     "template_interpolation",
     "token_count",
-    "top_n_limit",
     "top_revenue_orders",
     "union_dedup",
 ]

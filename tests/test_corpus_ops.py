@@ -521,3 +521,40 @@ def test_hll_registers_match_python_reference(spark, tmp_path):
     # the crafted corpus must exercise the small-range branch at least
     # once (the 'one' source cannot avoid it: 63 empty registers)
     assert got["one"]["v_empty"] == HLL_M - 1
+
+
+def test_fetch_schedule_politeness_hand_checked(spark, tmp_path):
+    """doc_ids 0..9: 0,1,2 land on big.example.com (Disallow /doc-3
+    misses them), 3..9 each open a siteNN host whose single url IS its
+    own Disallow prefix (site03's /doc-3 etc.) — so the whole schedule
+    is big.example.com's 3-url queue at Crawl-delay 1: slots follow
+    md5-priority order (recomputed here with hashlib), makespan
+    (n-1)*delay = 2, and the signature binds doc_id to slot."""
+    import hashlib
+
+    import __spark_entry__ as em
+
+    d = _write_documents(tmp_path, [f"t{i} x" for i in range(10)])
+    rows = em.queries()["fetch_schedule"](spark, d).collect()
+    assert len(rows) == 1  # every siteNN url is self-disallowed
+    got = rows[0].asDict()
+    assert got["host"] == "big.example.com"
+    assert got["crawl_delay_s"] == 1
+    assert got["n_scheduled"] == 3
+    assert got["makespan_s"] == 2
+
+    prio = {
+        i: int(
+            hashlib.md5(
+                f"https://big.example.com/doc-{i}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        for i in (0, 1, 2)
+    }
+    order = sorted(prio, key=lambda i: (-prio[i], i))
+    assert got["first_doc"] == order[0]
+    sig = 0
+    for slot, i in enumerate(order):
+        sig ^= i * (slot + 1)
+    assert got["sched_sig"] == sig

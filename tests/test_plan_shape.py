@@ -928,3 +928,42 @@ def test_compaction_window_ships_file_triples_only(spark, sf_dir, ops):
     crossing = _attrs_crossing_required_exchanges(df)
     assert crossing, "expected the window + rollup shuffles"
     assert "text" not in crossing, crossing
+
+
+def test_fetch_schedule_per_host_queues_no_global_sort(spark, sf_dir, ops):
+    """The scheduler's slot window partitions by HOST — per-host
+    queues, never a global sort (no range-partitioned Exchange
+    anywhere) — and the rule table broadcasts so blocked urls die
+    map-side; no url/path string crosses a required Exchange (the
+    window ships (doc_id, host, delay, priority) scalars)."""
+    df = ops.QUERIES["fetch_schedule"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "url" not in crossing and "path" not in crossing, crossing
+
+
+def test_hll_sketch_shuffles_registers_not_text(spark, sf_dir, ops):
+    """The HLL side must reduce text to (source, register, rho)
+    scalars AT THE SCAN: no text attribute crosses any required
+    Exchange (the exact countDistinct twin ships 32-char digests —
+    that contrast is the operator's point), and the register max
+    gets a map-side partial aggregate."""
+    df = ops.QUERIES["hll_cardinality"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "HashAggregate" in plan, plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "text" not in crossing, crossing
+
+
+def test_anchor_terms_plucked_at_scan(spark, sf_dir, ops):
+    """Anchor aggregation ships (dst, term) pairs — single words
+    plucked from the source text at the scan — never the source text
+    itself, and the per-target argmax windows by dst (hash
+    partitioning, no global sort)."""
+    df = ops.QUERIES["anchor_text_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "rangepartitioning" not in plan.lower(), plan
+    crossing = _attrs_crossing_required_exchanges(df)
+    assert "text" not in crossing, crossing
