@@ -93,6 +93,47 @@ _HLL_ORACLE = f"""
     """
 
 
+def hll_register_table(docs):
+    """(source, idx, m) register table over a documents-shaped frame —
+    the shared sketch kernel: the batch query aggregates it straight
+    to estimates, and the streaming companion
+    (streaming/hll_stream.py) folds per-micro-batch register tables
+    into a running sketch by elementwise max, which is exact because
+    max-merge IS the HLL union operator."""
+    h = F.md5(F.col("text"))
+    hashed = docs.select(
+        "source",
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % HLL_M).alias(
+            "idx"
+        ),
+        F.conv(F.substring(h, 3, 15), 16, 10).cast("long").alias("w60"),
+    )
+    rho = F.when(F.col("w60") == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(F.col("w60")))
+    )
+    return (
+        hashed.select("source", "idx", rho.alias("m"))
+        .groupBy("source", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+
+
+def estimate_registers(m_values) -> tuple[int, float]:
+    """(v_empty, estimate) from a full m-length register vector —
+    the pure-Python twin of the in-plan estimator, shared by the
+    streaming fold and the differential tests (same raw formula,
+    same Heule small-range branch, unrounded)."""
+    import math
+
+    assert len(m_values) == HLL_M
+    denom = sum(1 << (61 - int(m)) for m in m_values)
+    e_raw = _RAW_NUMER / float(denom)
+    v = sum(1 for m in m_values if m == 0)
+    if e_raw <= _SMALL_RANGE and v > 0:
+        return v, HLL_M * math.log(HLL_M / v)
+    return v, e_raw
+
+
 @register("hll_cardinality", oracle=_HLL_ORACLE)
 def hll_cardinality(spark, sf_dir):
     """Per-source unique-content cardinality, estimated with a
@@ -109,21 +150,7 @@ def hll_cardinality(spark, sf_dir):
     replace at scale), one tiny join of two per-source aggregates."""
     docs = spread(table(spark, sf_dir, "documents").select("source", "text"))
     h = F.md5(F.col("text"))
-    hashed = docs.select(
-        "source",
-        (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % HLL_M).alias(
-            "idx"
-        ),
-        F.conv(F.substring(h, 3, 15), 16, 10).cast("long").alias("w60"),
-    )
-    rho = F.when(F.col("w60") == 0, F.lit(61)).otherwise(
-        F.lit(61) - F.length(F.bin(F.col("w60")))
-    )
-    regs = (
-        hashed.select("source", "idx", rho.alias("m"))
-        .groupBy("source", "idx")
-        .agg(F.max("m").alias("m"))
-    )
+    regs = hll_register_table(docs)
     folded = regs.groupBy("source").agg(
         F.sum(
             F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - m) AS DECIMAL(20,0))")

@@ -448,3 +448,44 @@ def test_crawl_diff_gate_stream_matches_batch(spark, sf_dir, tmp_path):
     kinds = {k for _, k in got}
     assert kinds == {"added", "changed"}, kinds  # both classes non-trivial
     assert len(got) < curr.count()  # unchanged pages were dropped
+
+
+def test_hll_stream_matches_batch_estimates(spark, sf_dir, tmp_path):
+    """Streaming HLL maintenance == one-shot batch sketch (max-merge
+    is the HLL union operator, so micro-batch chopping is invisible):
+    split the corpus into 4 files, stream them one file per trigger,
+    and the folded registers fed through the shared pure-Python
+    estimator must reproduce the batch hll_cardinality query's
+    v_empty / max_rho / estimate for every source."""
+    import __spark_entry__ as em
+    from ragflow_spark.operators.hll import estimate_registers
+    from ragflow_spark.streaming.clean_gate import documents_stream
+    from ragflow_spark.streaming.hll_stream import run_hll_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # <dir>/documents.parquet layout so the BATCH query reads the
+    # exact same 4 files the stream consumes one-per-trigger
+    docs.repartition(4).write.mode("overwrite").parquet(
+        str(src / "documents.parquet")
+    )
+
+    regs = run_hll_stream(
+        documents_stream(
+            spark, str(src / "documents.parquet"), max_files_per_trigger=1
+        ),
+        str(tmp_path / "ckpt"),
+    )
+    batch = {
+        r["source"]: r.asDict()
+        for r in em.queries()["hll_cardinality"](spark, str(src)).collect()
+    }
+    assert set(regs) == set(batch)
+    for source, vec in regs.items():
+        v, est = estimate_registers(vec)
+        assert batch[source]["v_empty"] == v
+        assert batch[source]["max_rho"] == max(vec)
+        assert batch[source]["hll_estimate"] == pytest.approx(
+            round(est, 4), abs=1e-4
+        )
