@@ -308,3 +308,85 @@ def test_bpe_whole_text_encode_equals_per_word(words):
         a, b = pair.split(" ")
         text_enc = text_enc.replace(f"({a})({b})", f"({a}{b})")
     assert text_enc == " ".join(per_word[w] for w in words)
+
+
+# ---------------------------------------------------------------------------
+# HLL oracle arithmetic (no Spark: DuckDB vs pure Python). The parity
+# suite proves Spark == DuckDB on the fixed corpora; this fuzzes the
+# RISKY half of the cross-engine contract — the hex/bin/shift register
+# arithmetic in the DuckDB oracle — against an independent pure-Python
+# HyperLogLog over arbitrary corpora (duplicates, unicode, empty-ish
+# strings, single-text sources).
+# ---------------------------------------------------------------------------
+
+_HLL_DOCS = st.lists(
+    st.tuples(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            min_size=0,
+            max_size=40,
+        ),
+        st.sampled_from(["s0", "s1", "s2"]),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(_HLL_DOCS)
+@settings(max_examples=60, deadline=None)
+def test_hll_oracle_matches_python_reference(docs):
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.hll import (
+        HLL_M,
+        _HLL_ORACLE,
+        estimate_registers,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [t for t, _ in docs],
+            "lang": "en",
+            "source": [s for _, s in docs],
+            "n_chars": [len(t) for t, _ in docs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {
+        r["source"]: r
+        for _, r in con.sql(_HLL_ORACLE).df().iterrows()
+    }
+
+    per_source: dict[str, dict] = {}
+    for t, s in docs:
+        st_ = per_source.setdefault(
+            s, {"regs": [0] * HLL_M, "seen": set()}
+        )
+        if t in st_["seen"]:
+            continue
+        st_["seen"].add(t)
+        h = hashlib.md5(t.encode()).hexdigest()
+        idx = int(h[:2], 16) % HLL_M
+        w60 = int(h[2:17], 16)
+        rho = 61 if w60 == 0 else 61 - w60.bit_length()
+        if rho > st_["regs"][idx]:
+            st_["regs"][idx] = rho
+
+    assert set(got) == set(per_source)
+    for s, st_ in per_source.items():
+        v, est = estimate_registers(st_["regs"])
+        exact = len(st_["seen"])
+        assert got[s]["n_exact"] == exact
+        assert got[s]["v_empty"] == v
+        assert got[s]["max_rho"] == max(st_["regs"])
+        assert abs(got[s]["hll_estimate"] - round(est, 4)) <= 1e-4
+        assert (
+            abs(got[s]["rel_err"] - round(abs(est - exact) / exact, 4))
+            <= 1e-4
+        )
