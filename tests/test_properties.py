@@ -390,3 +390,151 @@ def test_hll_oracle_matches_python_reference(docs):
             abs(got[s]["rel_err"] - round(abs(est - exact) / exact, 4))
             <= 1e-4
         )
+
+
+_ANCHOR_DOCS = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # spaces -> multi-word splits
+        min_size=0,
+        max_size=20,
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_ANCHOR_DOCS)
+@settings(max_examples=60, deadline=None)
+def test_anchor_oracle_matches_python_reference(texts):
+    """DuckDB-vs-Python fuzz for the anchor_text_stats oracle: the
+    risky cross-engine half is the list-index arithmetic
+    (string_split + 1-based ws[(doc_id+c) % len(ws) + 1]) on
+    degenerate word lists — empty texts (one empty word), runs of
+    spaces (empty words), single-word docs."""
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.linkgraph import (
+        PR_LINK_SHIFTS,
+        _anchor_oracle,
+    )
+
+    n = len(texts)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {
+        r["top_anchor"]: (
+            int(r["n_pages"]),
+            int(r["n_anchor_hits"]),
+            int(r["pages_sig"]),
+        )
+        for _, r in con.sql(_anchor_oracle()).df().iterrows()
+    }
+
+    cnt: dict[int, Counter] = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        for c in PR_LINK_SHIFTS:
+            dst = (i * i + c) % n
+            term = ws[(i + c) % len(ws)]
+            cnt.setdefault(dst, Counter())[term] += 1
+    hist: dict[str, list[int]] = {}
+    for dst, c in cnt.items():
+        term = min(c, key=lambda t: (-c[t], t))
+        hist.setdefault(term, [0, 0, 0])
+        hist[term][0] += 1
+        hist[term][1] += c[term]
+        hist[term][2] ^= dst
+    assert got == {t: tuple(v) for t, v in hist.items()}
+
+
+_SCHED_IDS = st.lists(
+    st.integers(min_value=0, max_value=5000), min_size=1, max_size=80,
+    unique=True,
+)
+
+
+@given(_SCHED_IDS)
+@settings(max_examples=60, deadline=None)
+def test_fetch_schedule_oracle_matches_python_reference(ids):
+    """DuckDB-vs-Python fuzz for the fetch_schedule oracle: host
+    assignment, RFC 9309 prefix blocking, md5 priority order, slot
+    arithmetic and the slot-binding signature over arbitrary doc_id
+    sets (so hosts appear/disappear and prefix collisions vary)."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.corpus import _FETCH_SCHEDULE_ORACLE
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": "t x",
+            "lang": "en",
+            "source": "s",
+            "n_chars": 3,
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {
+        r["host"]: (
+            int(r["crawl_delay_s"]),
+            int(r["n_scheduled"]),
+            int(r["makespan_s"]),
+            int(r["first_doc"]),
+            int(r["sched_sig"]),
+        )
+        for _, r in con.sql(_FETCH_SCHEDULE_ORACLE).df().iterrows()
+    }
+
+    by_host: dict[str, list[int]] = {}
+    for i in ids:
+        host = (
+            "big.example.com" if i % 10 < 3 else f"site{i % 50:02d}.example.org"
+        )
+        by_host.setdefault(host, []).append(i)
+    want = {}
+    for host, members in by_host.items():
+        if host == "big.example.com":
+            prefix, delay = "/doc-3", 1
+        else:
+            nn = int(host[4:6])
+            prefix, delay = f"/doc-{nn % 10}", 1 + nn % 5
+        allowed = [i for i in members if not f"/doc-{i}".startswith(prefix)]
+        if not allowed:
+            continue
+        prio = {
+            i: int(
+                hashlib.md5(f"https://{host}/doc-{i}".encode()).hexdigest()[
+                    :8
+                ],
+                16,
+            )
+            for i in allowed
+        }
+        order = sorted(allowed, key=lambda i: (-prio[i], i))
+        sig = 0
+        for slot, i in enumerate(order):
+            sig ^= i * (slot + 1)
+        want[host] = (
+            delay,
+            len(order),
+            (len(order) - 1) * delay,
+            order[0],
+            sig,
+        )
+    assert got == want
