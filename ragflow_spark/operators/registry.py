@@ -39,6 +39,13 @@ PRIORITY_HEAD = [
     # replica (tests/driver_sim.py + the sf0.1 parity sweep) — the
     # cheapest verdicts to spend on first-exposure checks of three
     # new operators.
+    # Round-5 fifth-wave additions (never driver-checked); these
+    # displace sql_passthrough / error_as_row — the two most trivial
+    # remaining r3-green plans (a spark.sql passthrough and a
+    # union-with-literal), both still replica-covered every round —
+    # for the same first-exposure reason.
+    "ann_pq_topk",
+    "pq_encode_stats",
     "hll_cardinality",
     "anchor_text_stats",
     "fetch_schedule",
@@ -83,13 +90,11 @@ PRIORITY_HEAD = [
     # r3-last-green relational/textops tail
     "anti_join_customers",
     "argmax_count",
-    "error_as_row",
     "intersect_active_segments",
     "lang_id",
     "multirow_fold",
     "quality_score",
     "split_explode",
-    "sql_passthrough",
     "switch_predicates",
     "template_interpolation",
     "token_count",

@@ -1250,3 +1250,250 @@ def ivf_kmeans_refine(spark, sf_dir):
             F.round(F.min(drift), 4).alias("drift_cos"),
         )
     )
+
+
+# ------------------------------------------------- product quantization
+
+# PQ: DIM=64 split into PQ_M subspaces of PQ_SUB dims; PQ_K codes per
+# subspace -> a vector compresses to PQ_M single-byte codes (64 B of
+# float32 -> 8 B, 32x). Embedding values are quantized to EXACT
+# integers (floor(x * PQ_SCALE)) before any distance math so code
+# assignment and ADC scores are integer arithmetic on both engines —
+# no float-summation-order drift can flip an argmin (the
+# classifier_filter_stats milli-weight recipe applied to geometry).
+PQ_M = 8
+PQ_SUB = DIM // PQ_M
+PQ_K = 16
+PQ_SCALE = 1000
+
+
+def _collect_pq_codebook(spark, sf_dir):
+    """Bounded driver-side codebook manifest: the PQ_K rows with
+    vec_id < PQ_K, each quantized to integer milli-units. A production
+    build trains per-subspace k-means (the `ivf_kmeans_refine` Lloyd
+    machinery, run once per subspace slice); a deterministic selection
+    stands in here so the DuckDB oracle can replay the exact codebook
+    — the IVF coarse-quantizer precedent (`_collect_centroids`)."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(rows) == PQ_K, f"codebook needs vec_id 0..{PQ_K - 1}"
+    return [
+        [int(math.floor(float(x) * PQ_SCALE)) for x in r.embedding]
+        for r in rows
+    ]
+
+
+def _pq_cb3(codebook):
+    """Codebook as an int64 (PQ_K, PQ_M, PQ_SUB) array."""
+    import numpy as np
+
+    return np.array(codebook, dtype=np.int64).reshape(PQ_K, PQ_M, PQ_SUB)
+
+
+def _pq_encode(emb_f64, cb3):
+    """Vectorized exact-integer PQ encode of a (B, DIM) float batch:
+    returns (codes, resid) both (B, PQ_M) int64 — nearest code per
+    subspace by squared L2 over milli-quantized ints (np.argmin takes
+    the FIRST minimum, replaying the code-id ASC tie-break exactly
+    because the distances are integers), and the residual distance to
+    the chosen code. einsum keeps the intermediate at (B, PQ_K, PQ_M)
+    int64 — no (B, K, M, SUB) materialization."""
+    import numpy as np
+
+    ei = np.floor(emb_f64 * PQ_SCALE).astype(np.int64)
+    ei3 = ei.reshape(-1, PQ_M, PQ_SUB)
+    cross = np.einsum("bms,kms->bkm", ei3, cb3)
+    en = (ei3 * ei3).sum(axis=2)  # (B, M)
+    cn = (cb3 * cb3).sum(axis=2)  # (K, M)
+    d = en[:, None, :] + cn[None, :, :] - 2 * cross  # (B, K, M)
+    codes = np.argmin(d, axis=1)  # (B, M)
+    b_idx = np.arange(d.shape[0])[:, None]
+    m_idx = np.arange(PQ_M)[None, :]
+    resid = d[b_idx, codes, m_idx]
+    return codes, resid
+
+
+# Shared oracle CTE chain: milli-quantize, derive the codebook, score
+# every (vector, subspace, code) triple exactly, keep the argmin.
+_PQ_ASSIGN_CTES = f"""
+    qe AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * {PQ_SCALE})::BIGINT) AS qi
+      FROM embeddings
+    ), cb AS (
+      SELECT vec_id AS code, qi AS cvec FROM qe WHERE vec_id < {PQ_K}
+    ), dists AS (
+      SELECT e.vec_id, t.m, c.code,
+             list_sum(list_transform(range(1, {PQ_SUB} + 1), d ->
+               (e.qi[{PQ_SUB} * t.m + d] - c.cvec[{PQ_SUB} * t.m + d])
+               * (e.qi[{PQ_SUB} * t.m + d] - c.cvec[{PQ_SUB} * t.m + d])
+             ))::BIGINT AS dist
+      FROM qe e
+      CROSS JOIN range({PQ_M}) AS t(m)
+      CROSS JOIN cb c
+    ), assigned AS (
+      SELECT vec_id, m, code, dist FROM (
+        SELECT vec_id, m, code, dist,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )"""
+
+
+_PQ_TOPK_ORACLE = f"""
+    WITH {_PQ_ASSIGN_CTES}, dt AS (
+      SELECT m, code, dist FROM dists WHERE vec_id = {QUERY_VEC_ID}
+    ), adist AS (
+      SELECT a.vec_id, sum(d.dist)::BIGINT AS adist_sq
+      FROM assigned a JOIN dt d ON a.m = d.m AND a.code = d.code
+      GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, e.label, a.adist_sq
+    FROM adist a JOIN embeddings e ON a.vec_id = e.vec_id
+    WHERE a.vec_id != {QUERY_VEC_ID}
+    ORDER BY a.adist_sq, a.vec_id LIMIT {TOP_K}
+    """
+
+
+@register("ann_pq_topk", oracle=_PQ_TOPK_ORACLE)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011) — the memory-side scale
+    path the IVF family's docstrings defer to: vectors are encoded as
+    {PQ_M} sub-codes ({PQ_K}-entry codebook per subspace, 32x smaller
+    than raw float32), and a query scans CODES, not vectors, via the
+    asymmetric distance computation (ADC): a per-query (M x K)
+    distance table is built once driver-side, and each row's
+    approximate distance is {PQ_M} table lookups + adds.
+
+    Scale shape: one vectorized mapInPandas pass — codebook and
+    distance table ship in the closure (broadcast variables on a
+    cluster; a real 256-code book is 64 KB), encode + ADC are exact
+    int64 numpy ops, and only (vec_id, label, adist_sq) reach the
+    final TakeOrderedAndProject. No join, no Exchange before the
+    top-k gather; at 10^9 vectors the code table (8 B/vector) is what
+    an executor holds in memory while raw vectors stay in cold
+    storage — the classic PQ deployment. Integer quantization
+    (floor(x*{PQ_SCALE})) makes every argmin and every ADC sum exact
+    on both engines; cross-engine ties replay deterministically."""
+    import numpy as np
+    import pandas as pd
+
+    cb3 = _pq_cb3(_collect_pq_codebook(spark, sf_dir))
+    qe = _collect_query_vec(spark, sf_dir, QUERY_VEC_ID)
+    qi = np.array(
+        [math.floor(float(x) * PQ_SCALE) for x in qe], dtype=np.int64
+    ).reshape(PQ_M, PQ_SUB)
+    # dt[k, m]: exact squared L2 between the query's subspace slice
+    # and codebook entry k — the ADC table
+    dt = ((qi[None, :, :] - cb3) ** 2).sum(axis=2)
+
+    def kernel(batches):
+        for pdf in batches:
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if emb.size == 0:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.array([], dtype=np.int64),
+                        "label": np.array([], dtype=np.int32),
+                        "adist_sq": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            codes, _resid = _pq_encode(emb, cb3)
+            adist = dt[codes, np.arange(PQ_M)[None, :]].sum(axis=1)
+            keep = pdf["vec_id"].to_numpy() != QUERY_VEC_ID
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "label": pdf["label"].to_numpy()[keep],
+                    "adist_sq": adist[keep],
+                }
+            )
+
+    e = spread(table(spark, sf_dir, "embeddings"))
+    cand = e.select("vec_id", "label", "embedding").mapInPandas(
+        kernel, schema="vec_id bigint, label int, adist_sq bigint"
+    )
+    return cand.orderBy(F.asc("adist_sq"), F.asc("vec_id")).limit(TOP_K)
+
+
+_PQ_ENCODE_ORACLE = f"""
+    WITH {_PQ_ASSIGN_CTES}
+    SELECT m AS subspace, code,
+           count(*)::BIGINT AS n_vecs,
+           bit_xor(vec_id)::BIGINT AS vec_sig,
+           sum(dist)::BIGINT AS sum_resid_sq
+    FROM assigned GROUP BY m, code
+    """
+
+
+@register("pq_encode_stats", oracle=_PQ_ENCODE_ORACLE)
+def pq_encode_stats(spark, sf_dir):
+    """The PQ index-BUILD audit over the FULL corpus: per (subspace,
+    code) cell occupancy, an XOR signature binding every vector to its
+    assigned code, and the summed squared quantization residual — the
+    distortion number a PQ build is tuned on (`ann_pq_topk` verifies
+    the query path on {TOP_K} rows; this verifies the encoder on all
+    of them).
+
+    Scale shape: the kernel pre-aggregates per Arrow batch (pandas
+    groupby inside mapInPandas), so the single Exchange carries at
+    most partitions x {PQ_M} x {PQ_K} partial rows — counts, XOR
+    partials (XOR is associative/commutative, so partial-then-merge
+    is exact), and int64 residual sums; vectors never shuffle. The
+    output is bounded at {PQ_M} x {PQ_K} rows at any corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    cb3 = _pq_cb3(_collect_pq_codebook(spark, sf_dir))
+
+    def kernel(batches):
+        for pdf in batches:
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if emb.size == 0:
+                yield pd.DataFrame(
+                    {
+                        "subspace": np.array([], dtype=np.int64),
+                        "code": np.array([], dtype=np.int64),
+                        "n": np.array([], dtype=np.int64),
+                        "sig": np.array([], dtype=np.int64),
+                        "resid": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            codes, resid = _pq_encode(emb, cb3)
+            b = codes.shape[0]
+            part = pd.DataFrame(
+                {
+                    "subspace": np.tile(np.arange(PQ_M, dtype=np.int64), b),
+                    "code": codes.reshape(-1),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                    "resid": resid.reshape(-1),
+                }
+            )
+            agg = part.groupby(["subspace", "code"], as_index=False).agg(
+                n=("vec_id", "size"),
+                sig=("vec_id", lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+                resid=("resid", "sum"),
+            )
+            yield agg.astype(np.int64)
+
+    e = spread(table(spark, sf_dir, "embeddings"))
+    parts = e.select("vec_id", "embedding").mapInPandas(
+        kernel,
+        schema="subspace bigint, code bigint, n bigint, sig bigint, "
+        "resid bigint",
+    )
+    return parts.groupBy("subspace", "code").agg(
+        F.sum("n").alias("n_vecs"),
+        F.expr("bit_xor(sig)").alias("vec_sig"),
+        F.sum("resid").alias("sum_resid_sq"),
+    )

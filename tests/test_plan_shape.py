@@ -967,3 +967,29 @@ def test_anchor_terms_plucked_at_scan(spark, sf_dir, ops):
     assert "rangepartitioning" not in plan.lower(), plan
     crossing = _attrs_crossing_required_exchanges(df)
     assert "text" not in crossing, crossing
+
+
+def test_ann_pq_topk_is_map_side_adc(spark, sf_dir, ops):
+    """PQ ADC must be ONE vectorized map pass over the code space: no
+    join, no window, no embedding array across any Exchange, and the
+    top-k must stay TakeOrderedAndProject — the codebook and the
+    query's distance table are closure constants, not plan inputs."""
+    df = ops.QUERIES["ann_pq_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending
+
+
+def test_pq_encode_stats_partials_bound_the_exchange(spark, sf_dir, ops):
+    """The PQ encode audit must pre-aggregate inside the kernel: its
+    single Exchange carries (subspace, code) integer partials —
+    bounded at partitions x M x K rows — and no vector array."""
+    df = ops.QUERIES["pq_encode_stats"](spark, sf_dir)
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -538,3 +538,140 @@ def test_fetch_schedule_oracle_matches_python_reference(ids):
             sig,
         )
     assert got == want
+
+
+def _pq_naive(vecs_int, cb_int, m_sub, n_sub):
+    """Pure-Python PQ reference: per (vector, subspace) argmin of the
+    exact integer squared L2, ties to the smallest code id."""
+    codes, resids = [], []
+    for v in vecs_int:
+        vc, vr = [], []
+        for m in range(m_sub):
+            best = None
+            for j, c in enumerate(cb_int):
+                d = sum(
+                    (v[m * n_sub + t] - c[m * n_sub + t]) ** 2
+                    for t in range(n_sub)
+                )
+                if best is None or d < best[0]:
+                    best = (d, j)
+            vc.append(best[1])
+            vr.append(best[0])
+        codes.append(vc)
+        resids.append(vr)
+    return codes, resids
+
+
+def _pq_fuzz_vecs(seed: int, n: int, coarse: bool):
+    """Deterministic fuzz corpus from a compact seed: `coarse` draws
+    from a 7-value milli-grid so codebook entries collide and argmin
+    TIES are common (the semantics under test); fine mode exercises
+    arbitrary float32 magnitudes."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    if coarse:
+        grid = np.array(
+            [-0.002, -0.001, -0.0005, 0.0, 0.0005, 0.001, 0.002]
+        )
+        vecs = rng.choice(grid, size=(n, 64))
+    else:
+        vecs = rng.uniform(-1.0, 1.0, size=(n, 64))
+    return [[float(np.float32(x)) for x in v] for v in vecs]
+
+
+_PQ_CASE = st.tuples(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=16, max_value=40),  # vec_id < PQ_K = codebook
+    st.booleans(),
+)
+
+
+@given(_PQ_CASE)
+@settings(max_examples=40, deadline=None)
+def test_pq_encode_matches_naive_reference(case):
+    """The vectorized einsum encoder must equal the loop reference
+    exactly — codes AND residuals — on arbitrary float32 vectors
+    (ties, zero vectors, duplicate codebook entries included)."""
+    vecs = _pq_fuzz_vecs(*case)
+    import math
+
+    import numpy as np
+
+    from ragflow_spark.operators.similarity import (
+        PQ_M,
+        PQ_SCALE,
+        PQ_SUB,
+        _pq_cb3,
+        _pq_encode,
+    )
+
+    cb_int = [
+        [int(math.floor(x * PQ_SCALE)) for x in v] for v in vecs[:16]
+    ]
+    vecs_int = [
+        [int(math.floor(x * PQ_SCALE)) for x in v] for v in vecs
+    ]
+    codes, resid = _pq_encode(
+        np.array(vecs, dtype=np.float64), _pq_cb3(cb_int)
+    )
+    want_codes, want_resid = _pq_naive(vecs_int, cb_int, PQ_M, PQ_SUB)
+    assert codes.tolist() == want_codes
+    assert resid.tolist() == want_resid
+
+
+@given(_PQ_CASE)
+@settings(max_examples=20, deadline=None)
+def test_pq_oracle_matches_kernel_arithmetic(case):
+    """DuckDB-vs-numpy fuzz for the PQ oracle SQL: the risky
+    cross-engine half is the list-slicing index arithmetic
+    (qi[PQ_SUB*m + d], 1-based) and the row_number tie-break replaying
+    np.argmin's first-minimum rule."""
+    vecs = _pq_fuzz_vecs(*case)
+    from collections import defaultdict
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ragflow_spark.operators.similarity import (
+        _PQ_ENCODE_ORACLE,
+        _pq_cb3,
+        _pq_encode,
+        PQ_M,
+        PQ_SCALE,
+    )
+    import math
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": vecs,
+            "label": 0,
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    got = {
+        (int(r["subspace"]), int(r["code"])): (
+            int(r["n_vecs"]),
+            int(r["vec_sig"]),
+            int(r["sum_resid_sq"]),
+        )
+        for _, r in con.sql(_PQ_ENCODE_ORACLE).df().iterrows()
+    }
+
+    cb_int = [
+        [int(math.floor(x * PQ_SCALE)) for x in v] for v in vecs[:16]
+    ]
+    codes, resid = _pq_encode(
+        np.array(vecs, dtype=np.float64), _pq_cb3(cb_int)
+    )
+    want: dict = defaultdict(lambda: [0, 0, 0])
+    for vid in range(len(vecs)):
+        for m in range(PQ_M):
+            cell = want[(m, int(codes[vid, m]))]
+            cell[0] += 1
+            cell[1] ^= vid
+            cell[2] += int(resid[vid, m])
+    assert got == {k: tuple(v) for k, v in want.items()}
