@@ -40,12 +40,14 @@ PRIORITY_HEAD = [
     # cheapest verdicts to spend on first-exposure checks of three
     # new operators.
     # Round-5 fifth-wave additions (never driver-checked); these
-    # displace sql_passthrough / error_as_row — the two most trivial
-    # remaining r3-green plans (a spark.sql passthrough and a
-    # union-with-literal), both still replica-covered every round —
-    # for the same first-exposure reason.
+    # displace sql_passthrough / error_as_row / union_dedup — the
+    # three most trivial remaining r3-green plans (a spark.sql
+    # passthrough, a union-with-literal, a unionByName+distinct), all
+    # still replica-covered every round — for the same first-exposure
+    # reason.
     "ann_pq_topk",
     "pq_encode_stats",
+    "dsir_importance_stats",
     "hll_cardinality",
     "anchor_text_stats",
     "fetch_schedule",
@@ -99,7 +101,6 @@ PRIORITY_HEAD = [
     "template_interpolation",
     "token_count",
     "top_revenue_orders",
-    "union_dedup",
 ]
 
 # Queries driver-green in 2+ consecutive rounds (r1/r2 through r4) and

@@ -1834,3 +1834,170 @@ def compaction_plan(spark, sf_dir):
             f"bit_xor(merge_group * {COMPACT_SIG_MIX} + group_bytes)"
         ).alias("plan_sig"),
     )
+
+
+# --------------------------------------------------------------------------
+# dsir_importance_stats
+# --------------------------------------------------------------------------
+
+# DSIR-style importance weighting (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS 2023): hashed
+# n-gram features, a TARGET distribution estimated from an in-domain
+# subset, and per-document importance = how much more likely the doc's
+# features are under target than under raw. The target domain here is
+# the lang='en' slice (deterministic, corpus-derived); features are
+# word BIGRAMS hashed into DSIR_B buckets (the hashing trick, same md5
+# recipe as classifier_filter_stats).
+#
+# Determinism core: production DSIR sums per-feature LOG-ratios; a
+# cross-engine ln() can differ in the last ulp, and the per-doc sum
+# feeds a discrete selection decision. We therefore use a linearized
+# fixed-point form — per-bucket MILLI-RATIO
+# lambda_b = (1000 * (t_b+1) * (R+B)) // ((r_b+1) * (T+B))
+# (Laplace-smoothed target/raw ratio, integer floor division) — and
+# per-doc score = sum of lambda over the doc's grams, selected when the
+# MEAN ratio exceeds 1 (score > 1000 * n_grams). Monotone in each
+# feature ratio like the log form, but every intermediate is an exact
+# integer on both engines.
+DSIR_B = 64
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_bucket_sql(g: str) -> str:
+    """Spark-side hash bucket for a gram expression (md5-prefix mod B,
+    the classifier_filter_stats recipe)."""
+    return (
+        f"cast(conv(substring(md5({g}), 1, 4), 16, 10) as int) % {DSIR_B}"
+    )
+
+
+_DSIR_GRAMS_DUCK = "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])"
+_DSIR_BUCKET_DUCK = "('0x' || substring(md5(g), 1, 4))::BIGINT % " + str(DSIR_B)
+
+_DSIR_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+      FROM documents
+    ), gr AS (
+      SELECT doc_id, source, lang, {_DSIR_GRAMS_DUCK} AS gs FROM base
+    ), bcraw AS (
+      SELECT {_DSIR_BUCKET_DUCK} AS b,
+             count(*)::BIGINT AS r,
+             sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0
+                 END)::BIGINT AS t
+      FROM (SELECT lang, unnest(gs) AS g FROM gr) GROUP BY b
+    ), bc AS (
+      SELECT i.b, coalesce(c.r, 0)::BIGINT AS r, coalesce(c.t, 0)::BIGINT AS t
+      FROM range({DSIR_B}) i(b) LEFT JOIN bcraw c ON c.b = i.b
+    ), tot AS (
+      SELECT sum(r)::BIGINT AS rr, sum(t)::BIGINT AS tt FROM bc
+    ), lam AS (
+      SELECT b, ((1000::HUGEINT * (t + 1) * (rr + {DSIR_B}))
+                 // ((r + 1) * (tt + {DSIR_B})))::BIGINT AS l
+      FROM bc CROSS JOIN tot
+    ), lamarr AS (
+      SELECT list(l ORDER BY b) AS la FROM lam
+    ), scored AS (
+      SELECT source, lang, len(gs) AS nf,
+             coalesce(list_sum(list_transform(gs, g ->
+               la[{_DSIR_BUCKET_DUCK} + 1])), 0)::BIGINT AS sc
+      FROM gr CROSS JOIN lamarr
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0
+               END)::BIGINT AS n_target,
+           sum(CASE WHEN sc > 1000 * nf THEN 1 ELSE 0 END)::BIGINT
+             AS n_selected,
+           sum(sc)::BIGINT AS sum_milli,
+           round(sum(CASE WHEN sc > 1000 * nf THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS sel_rate
+    FROM scored GROUP BY source
+    """
+
+
+@register("dsir_importance_stats", oracle=_DSIR_ORACLE)
+def dsir_importance_stats(spark, sf_dir):
+    """DSIR importance weighting over hashed bigram features (Xie et
+    al. 2023) — the data-SELECTION family member next to the absolute
+    filters: `classifier_filter_stats` scores against fixed weights,
+    `quality_resample` buckets by absolute perplexity; DSIR weighs raw
+    docs by how TARGET-LIKE their feature distribution is (target =
+    the lang='{DSIR_TARGET_LANG}' slice) and is what production
+    pipelines use to tilt a web crawl toward a curated domain.
+
+    Scale shape, pass 1 (estimate the two distributions): bigrams are
+    row-local array ops; the single Exchange carries map-side-combined
+    (bucket, count, target_count) partials bounded at partitions x
+    {DSIR_B} rows; the driver collects exactly {DSIR_B} rows and
+    derives the milli-ratio table in arbitrary-precision Python ints
+    (no int64 overflow at any corpus size — only the 64-long literal
+    ships back). Pass 2 is MAP-ONLY scoring against the lambda
+    literal (a broadcast variable at real B) + the per-source rollup
+    Exchange of integer partials. Both passes stay JVM-side — no
+    Python UDF anywhere.
+
+    Determinism: every intermediate is an exact integer (see the
+    module-level DSIR note); the one double, sel_rate, is a final
+    output column rounded per the registry contract."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "source",
+        "lang",
+        F.split(F.col("text"), " ").alias("ws"),
+    )
+    g_expr = (
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    grams = d.withColumn("gs", F.expr(g_expr))
+
+    counts = (
+        grams.select(
+            F.explode("gs").alias("g"),
+            (F.col("lang") == DSIR_TARGET_LANG).cast("long").alias("is_t"),
+        )
+        .select(F.expr(_dsir_bucket_sql("g")).alias("b"), "is_t")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("is_t").alias("t"))
+        .collect()
+    )
+    by_b = {int(row["b"]): (int(row["r"]), int(row["t"])) for row in counts}
+    rr = sum(r for r, _ in by_b.values())
+    tt = sum(t for _, t in by_b.values())
+    lam = [
+        (1000 * (by_b.get(b, (0, 0))[1] + 1) * (rr + DSIR_B))
+        // ((by_b.get(b, (0, 0))[0] + 1) * (tt + DSIR_B))
+        for b in range(DSIR_B)
+    ]
+
+    lam_lit = "array(" + ", ".join(f"{v}L" for v in lam) + ")"
+    score_expr = (
+        "aggregate(transform(gs, g -> "
+        f"la[{_dsir_bucket_sql('g')}]), 0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        grams.withColumn("la", F.expr(lam_lit))
+        .withColumn("sc", F.expr(score_expr))
+        .select(
+            "source",
+            "lang",
+            F.size("gs").alias("nf"),
+            "sc",
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias(
+            "n_target"
+        ),
+        F.sum((F.col("sc") > 1000 * F.col("nf")).cast("long")).alias(
+            "n_selected"
+        ),
+        F.sum("sc").alias("sum_milli"),
+        F.round(
+            F.sum((F.col("sc") > 1000 * F.col("nf")).cast("long"))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("sel_rate"),
+    )

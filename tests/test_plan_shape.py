@@ -993,3 +993,15 @@ def test_pq_encode_stats_partials_bound_the_exchange(spark, sf_dir, ops):
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_dsir_pass2_is_jvm_map_plus_one_rollup(spark, sf_dir, ops):
+    """DSIR's returned plan (pass 2) must be map-only scoring against
+    the lambda literal + ONE per-source rollup Exchange — no Python
+    eval node, no join; pass 1's bucket estimate is a separate bounded
+    collect that never appears in this plan."""
+    df = ops.QUERIES["dsir_importance_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -675,3 +675,87 @@ def test_pq_oracle_matches_kernel_arithmetic(case):
             cell[1] ^= vid
             cell[2] += int(resid[vid, m])
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+_DSIR_DOCS = st.lists(
+    st.tuples(
+        st.text(alphabet="ab c", min_size=0, max_size=24),
+        st.sampled_from(["en", "de", "zh"]),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(_DSIR_DOCS)
+@settings(max_examples=60, deadline=None)
+def test_dsir_oracle_matches_python_reference(docs):
+    """DuckDB-vs-Python fuzz for the DSIR oracle: gram construction on
+    degenerate word lists (empty texts, empty words from space runs,
+    single-word docs with NO grams -> NULL list_sum), the dense-bucket
+    left join, and the exact floor-division milli-ratio."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.trainprep import _DSIR_ORACLE, DSIR_B
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [t for t, _ in docs],
+            "lang": [lg for _, lg in docs],
+            "source": ["s%d" % (i % 3) for i in range(len(docs))],
+            "n_chars": [len(t) for t, _ in docs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {
+        r["source"]: (
+            int(r["n_docs"]),
+            int(r["n_target"]),
+            int(r["n_selected"]),
+            int(r["sum_milli"]),
+            round(float(r["sel_rate"]), 4),
+        )
+        for _, r in con.sql(_DSIR_ORACLE).df().iterrows()
+    }
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % DSIR_B
+
+    r_b = [0] * DSIR_B
+    t_b = [0] * DSIR_B
+    grams_per_doc = []
+    for text, lg in docs:
+        ws = text.split(" ")
+        gs = [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+        grams_per_doc.append(gs)
+        for g in gs:
+            r_b[bucket(g)] += 1
+            if lg == "en":
+                t_b[bucket(g)] += 1
+    rr, tt = sum(r_b), sum(t_b)
+    lam = [
+        (1000 * (t_b[b] + 1) * (rr + DSIR_B))
+        // ((r_b[b] + 1) * (tt + DSIR_B))
+        for b in range(DSIR_B)
+    ]
+    want: dict = {}
+    for i, ((_, lg), gs) in enumerate(zip(docs, grams_per_doc)):
+        src = "s%d" % (i % 3)
+        sc = sum(lam[bucket(g)] for g in gs)
+        nd, nt, ns, sm = want.get(src, (0, 0, 0, 0))
+        want[src] = (
+            nd + 1,
+            nt + (lg == "en"),
+            ns + (sc > 1000 * len(gs)),
+            sm + sc,
+        )
+    want = {
+        k: (nd, nt, ns, sm, round(ns / nd, 4))
+        for k, (nd, nt, ns, sm) in want.items()
+    }
+    assert got == want
