@@ -1874,6 +1874,68 @@ def _dsir_bucket_sql(g: str) -> str:
 _DSIR_GRAMS_DUCK = "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])"
 _DSIR_BUCKET_DUCK = "('0x' || substring(md5(g), 1, 4))::BIGINT % " + str(DSIR_B)
 
+_DSIR_GRAMS_SPARK = (
+    "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+    "(a, b) -> concat(a, ' ', b))"
+)
+
+
+def dsir_lambda_table(docs) -> list[int]:
+    """Pass 1 of DSIR: estimate the hashed-bigram target and raw
+    distributions and return the {DSIR_B}-entry fixed-point
+    milli-ratio table. One Exchange bounded at partitions x DSIR_B
+    (bucket, count, target_count) partials; the driver collects
+    exactly DSIR_B rows and derives lambda in arbitrary-precision
+    Python ints (no int64 overflow at any corpus size)."""
+    grams = docs.select(
+        "lang", F.split(F.col("text"), " ").alias("ws")
+    ).withColumn("gs", F.expr(_DSIR_GRAMS_SPARK))
+    counts = (
+        grams.select(
+            F.explode("gs").alias("g"),
+            (F.col("lang") == DSIR_TARGET_LANG).cast("long").alias("is_t"),
+        )
+        .select(F.expr(_dsir_bucket_sql("g")).alias("b"), "is_t")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("is_t").alias("t"))
+        .collect()
+    )
+    by_b = {int(row["b"]): (int(row["r"]), int(row["t"])) for row in counts}
+    rr = sum(r for r, _ in by_b.values())
+    tt = sum(t for _, t in by_b.values())
+    return [
+        (1000 * (by_b.get(b, (0, 0))[1] + 1) * (rr + DSIR_B))
+        // ((by_b.get(b, (0, 0))[0] + 1) * (tt + DSIR_B))
+        for b in range(DSIR_B)
+    ]
+
+
+def with_dsir_score(docs, lam: list[int]):
+    """Pass 2 of DSIR: append the exact-integer importance columns
+    ``dsir_milli`` (summed milli-ratio over the doc's bigrams) and
+    ``dsir_nf`` (bigram count) over ``text`` against a FROZEN lambda
+    table — the single scoring definition shared by the batch rollup
+    and the streaming gate (streaming/dsir_gate.py), the
+    with_cls_score idiom. Map-only JVM expressions; the lambda-array
+    literal is bound to its own column first so it is constructed once
+    per row, not once per gram (CLAUDE.md HOF invariant). A doc is
+    target-leaning when dsir_milli > 1000 * dsir_nf (mean ratio >
+    1)."""
+    lam_lit = "array(" + ", ".join(f"{v}L" for v in lam) + ")"
+    score_expr = (
+        "aggregate(transform(gs, g -> "
+        f"la[{_dsir_bucket_sql('g')}]), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        docs.withColumn("ws", F.split(F.col("text"), " "))
+        .withColumn("gs", F.expr(_DSIR_GRAMS_SPARK))
+        .withColumn("la", F.expr(lam_lit))
+        .withColumn("dsir_milli", F.expr(score_expr))
+        .withColumn("dsir_nf", F.size("gs"))
+        .drop("ws", "gs", "la")
+    )
+
+
 _DSIR_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, source, lang, string_split(text, ' ') AS ws
@@ -1940,50 +2002,16 @@ def dsir_importance_stats(spark, sf_dir):
     Determinism: every intermediate is an exact integer (see the
     module-level DSIR note); the one double, sel_rate, is a final
     output column rounded per the registry contract."""
-    d = spread(table(spark, sf_dir, "documents")).select(
+    lam = dsir_lambda_table(
+        spread(table(spark, sf_dir, "documents"))
+    )
+    scored = with_dsir_score(
+        spread(table(spark, sf_dir, "documents")), lam
+    ).select(
         "source",
         "lang",
-        F.split(F.col("text"), " ").alias("ws"),
-    )
-    g_expr = (
-        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
-        "(a, b) -> concat(a, ' ', b))"
-    )
-    grams = d.withColumn("gs", F.expr(g_expr))
-
-    counts = (
-        grams.select(
-            F.explode("gs").alias("g"),
-            (F.col("lang") == DSIR_TARGET_LANG).cast("long").alias("is_t"),
-        )
-        .select(F.expr(_dsir_bucket_sql("g")).alias("b"), "is_t")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("r"), F.sum("is_t").alias("t"))
-        .collect()
-    )
-    by_b = {int(row["b"]): (int(row["r"]), int(row["t"])) for row in counts}
-    rr = sum(r for r, _ in by_b.values())
-    tt = sum(t for _, t in by_b.values())
-    lam = [
-        (1000 * (by_b.get(b, (0, 0))[1] + 1) * (rr + DSIR_B))
-        // ((by_b.get(b, (0, 0))[0] + 1) * (tt + DSIR_B))
-        for b in range(DSIR_B)
-    ]
-
-    lam_lit = "array(" + ", ".join(f"{v}L" for v in lam) + ")"
-    score_expr = (
-        "aggregate(transform(gs, g -> "
-        f"la[{_dsir_bucket_sql('g')}]), 0L, (acc, x) -> acc + x)"
-    )
-    scored = (
-        grams.withColumn("la", F.expr(lam_lit))
-        .withColumn("sc", F.expr(score_expr))
-        .select(
-            "source",
-            "lang",
-            F.size("gs").alias("nf"),
-            "sc",
-        )
+        F.col("dsir_nf").alias("nf"),
+        F.col("dsir_milli").alias("sc"),
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

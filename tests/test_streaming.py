@@ -489,3 +489,39 @@ def test_hll_stream_matches_batch_estimates(spark, sf_dir, tmp_path):
         assert batch[source]["hll_estimate"] == pytest.approx(
             round(est, 4), abs=1e-4
         )
+
+
+def test_dsir_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming DSIR gate == batch keep semantics (shared
+    with_dsir_score definition under the same frozen lambda table):
+    kept doc_id sets identical, and the gate is non-trivial at this
+    sf."""
+    from ragflow_spark.operators.trainprep import (
+        dsir_lambda_table,
+        with_dsir_score,
+    )
+    from ragflow_spark.streaming.clean_gate import documents_stream
+    from ragflow_spark.streaming.dsir_gate import dsir_gate_stream
+    from ragflow_spark.streaming.windows import run_to_memory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lam = dsir_lambda_table(docs)
+    src = tmp_path / "docs_in"
+    docs.write.mode("overwrite").parquet(str(src))
+
+    out = run_to_memory(
+        dsir_gate_stream(documents_stream(spark, str(src)), lam),
+        "dsir_gate",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    batch = {
+        r.doc_id
+        for r in with_dsir_score(docs, lam)
+        .filter(F.col("dsir_milli") > 1000 * F.col("dsir_nf"))
+        .select("doc_id")
+        .collect()
+    }
+    assert got == batch
+    assert 0 < len(got) < docs.count(), "gate must be non-trivial"
