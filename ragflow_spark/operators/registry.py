@@ -40,14 +40,16 @@ PRIORITY_HEAD = [
     # cheapest verdicts to spend on first-exposure checks of three
     # new operators.
     # Round-5 fifth-wave additions (never driver-checked); these
-    # displace sql_passthrough / error_as_row / union_dedup — the
-    # three most trivial remaining r3-green plans (a spark.sql
-    # passthrough, a union-with-literal, a unionByName+distinct), all
-    # still replica-covered every round — for the same first-exposure
+    # displace sql_passthrough / error_as_row / union_dedup /
+    # template_interpolation — the four most trivial remaining
+    # r3-green plans (a spark.sql passthrough, a union-with-literal, a
+    # unionByName+distinct, a string-functions projection), all still
+    # replica-covered every round — for the same first-exposure
     # reason.
     "ann_pq_topk",
     "pq_encode_stats",
     "dsir_importance_stats",
+    "ann_ivfpq_topk",
     "hll_cardinality",
     "anchor_text_stats",
     "fetch_schedule",
@@ -98,7 +100,6 @@ PRIORITY_HEAD = [
     "quality_score",
     "split_explode",
     "switch_predicates",
-    "template_interpolation",
     "token_count",
     "top_revenue_orders",
 ]

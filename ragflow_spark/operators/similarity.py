@@ -1497,3 +1497,244 @@ def pq_encode_stats(spark, sf_dir):
         F.expr("bit_xor(sig)").alias("vec_sig"),
         F.sum("resid").alias("sum_resid_sq"),
     )
+
+
+# ----------------------------------------------------------- IVF-PQ
+
+# The composition deployed at billion-vector scale (FAISS "IVFx,PQy";
+# Jégou et al. TPAMI 2011 §V): the IVF coarse quantizer routes a query
+# to nprobe cells, and within a cell the vector is stored only as the
+# PQ code of its RESIDUAL vs the cell centroid — the index holds
+# 8 B/vector + the cell id, raw vectors stay in cold storage.
+# Exactness: residuals are DIFFERENCES OF MILLI-QUANTIZED INTS
+# (qi(x) - qi(centroid)), not quantized float differences, so encode
+# argmins and ADC sums stay exact int64 on both engines; only the
+# coarse cosine assignment is float, and it is the SAME green
+# assignment rule ann_ivf_topk already replays (argmax with cent_id
+# ASC ties).
+
+
+def _pq_residual_codebook(cents_sorted, vecs_qi, assign_of):
+    """Residual codebook: the milli-int residual (qi(v) - qi(cent(v)))
+    of each of the first PQ_K vectors vs its own assigned centroid —
+    centered like real residuals, deterministic, oracle-replayable.
+    `cents_sorted` = [(cent_id, qi)] sorted; `vecs_qi` = {vec_id: qi}
+    for vec_id < PQ_K; `assign_of` = {vec_id: cent_id}."""
+    cq = dict(cents_sorted)
+    return [
+        [a - b for a, b in zip(vecs_qi[v], cq[assign_of[v]])]
+        for v in range(PQ_K)
+    ]
+
+
+_IVFPQ_QI = f"""
+    qe AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * {PQ_SCALE})::BIGINT) AS qi,
+             embedding::DOUBLE[] AS emb
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, qi AS cqi, emb AS cvec FROM qe
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = {IVF_CENTROID_PICK}
+    ), assigned AS (
+      SELECT vec_id, label, qi, cent_id FROM (
+        SELECT e.vec_id, e.label, e.qi, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                          c.cent_id
+               ) AS rn
+        FROM qe e, cents c
+      ) WHERE rn = 1
+    ), resid AS (
+      SELECT a.vec_id, a.label, a.cent_id,
+             list_transform(range(1, {DIM} + 1),
+                            i -> a.qi[i] - c.cqi[i]) AS ri
+      FROM assigned a JOIN cents c ON a.cent_id = c.cent_id
+    ), cb AS (
+      SELECT vec_id AS code, ri AS cvec FROM resid WHERE vec_id < {PQ_K}
+    )"""
+
+
+_IVFPQ_ORACLE = f"""
+    WITH {_IVFPQ_QI}, dists AS (
+      SELECT r.vec_id, r.label, r.cent_id, t.m, c.code,
+             list_sum(list_transform(range(1, {PQ_SUB} + 1), d ->
+               (r.ri[{PQ_SUB} * t.m + d] - c.cvec[{PQ_SUB} * t.m + d])
+               * (r.ri[{PQ_SUB} * t.m + d] - c.cvec[{PQ_SUB} * t.m + d])
+             ))::BIGINT AS dist
+      FROM resid r
+      CROSS JOIN range({PQ_M}) AS t(m)
+      CROSS JOIN cb c
+    ), codes AS (
+      SELECT vec_id, label, cent_id, m, code FROM (
+        SELECT vec_id, label, cent_id, m, code, dist,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), qcells AS (
+      SELECT cent_id FROM (
+        SELECT c.cent_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(q.emb, c.cvec) DESC,
+                          c.cent_id
+               ) AS rn
+        FROM qe q, cents c WHERE q.vec_id = {QUERY_VEC_ID}
+      ) WHERE rn <= {IVF_NPROBE}
+    ), qres AS (
+      SELECT c.cent_id AS pcell,
+             list_transform(range(1, {DIM} + 1),
+                            i -> q.qi[i] - c.cqi[i]) AS qri
+      FROM qe q JOIN cents c ON c.cent_id IN (SELECT cent_id FROM qcells)
+      WHERE q.vec_id = {QUERY_VEC_ID}
+    ), dt AS (
+      SELECT r.pcell, t.m, c.code,
+             list_sum(list_transform(range(1, {PQ_SUB} + 1), d ->
+               (r.qri[{PQ_SUB} * t.m + d] - c.cvec[{PQ_SUB} * t.m + d])
+               * (r.qri[{PQ_SUB} * t.m + d] - c.cvec[{PQ_SUB} * t.m + d])
+             ))::BIGINT AS dist
+      FROM qres r
+      CROSS JOIN range({PQ_M}) AS t(m)
+      CROSS JOIN cb c
+    ), adist AS (
+      SELECT k.vec_id, k.label, k.cent_id,
+             sum(d.dist)::BIGINT AS adist_sq
+      FROM codes k
+      JOIN dt d ON d.pcell = k.cent_id AND d.m = k.m AND d.code = k.code
+      GROUP BY k.vec_id, k.label, k.cent_id
+    )
+    SELECT vec_id, label, cent_id, adist_sq
+    FROM adist
+    WHERE vec_id != {QUERY_VEC_ID}
+    ORDER BY adist_sq, vec_id LIMIT {TOP_K}
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the composition actually deployed at 10^9+ vectors
+    (FAISS "IVFx,PQy"; Jégou et al. TPAMI 2011 §V): the deterministic
+    IVF coarse quantizer routes each vector to a cell, the vector is
+    stored as the {PQ_M}-byte PQ code of its milli-int RESIDUAL vs the
+    cell centroid, and a query probes its {IVF_NPROBE} nearest cells
+    with a PER-CELL ADC table built from the query's residual in that
+    cell.
+
+    Scale shape: one vectorized mapInPandas pass — centroids, residual
+    codebook and the nprobe ADC tables are closure constants (broadcast
+    variables on a cluster); assignment is the same row-local
+    normalized-centroid argmax the ann_ivf family uses (np.argmax
+    first-max == cent_id ASC ties, the bigk precedent), probe filter +
+    residual encode + ADC happen in the same kernel, and only
+    (vec_id, label, cent_id, adist_sq) reach TakeOrderedAndProject.
+    At scale the index is written partitioned by cent_id: a query
+    reads nprobe/k of the code table — 8 B/vector — and never touches
+    raw vectors (rescoring the ADC top-k against cold storage is the
+    optional exact refinement, demonstrated separately by
+    ann_ivf_topk's flat rescore).
+
+    Exactness: residual = qi(x) - qi(centroid) (difference of already
+    milli-quantized ints, NOT a quantized float difference), so every
+    encode argmin and ADC sum is exact int64 cross-engine; the float
+    coarse assignment reuses the green ann_ivf_topk rule."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _collect_centroids(spark, sf_dir)  # [(cent_id, float vec)]
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cqi = np.floor(cmat * PQ_SCALE).astype(np.int64)  # (k, DIM)
+    cid_row = {int(c): i for i, c in enumerate(cids)}
+
+    # residual codebook from the first PQ_K corpus vectors
+    head = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(head) == PQ_K, f"codebook needs vec_id 0..{PQ_K - 1}"
+    hmat = np.array(
+        [[float(x) for x in r.embedding] for r in head], dtype=np.float64
+    )
+    hqi = np.floor(hmat * PQ_SCALE).astype(np.int64)
+    hassign = np.argmax(hmat @ cnorm.T, axis=1)  # row index into cents
+    cb3 = (hqi - cqi[hassign]).reshape(PQ_K, PQ_M, PQ_SUB)
+
+    # query: probe cells + one ADC table per probed cell
+    qe = np.asarray(
+        _collect_query_vec(spark, sf_dir, QUERY_VEC_ID), dtype=np.float64
+    )
+    qqi = np.floor(qe * PQ_SCALE).astype(np.int64)
+    qscores = cnorm @ qe
+    order = np.lexsort((cids, -qscores))
+    probe_rows = order[:IVF_NPROBE]
+    dt_by_row = {}  # centroid row index -> (K, M) ADC table
+    for pr in probe_rows:
+        qri = (qqi - cqi[pr]).reshape(PQ_M, PQ_SUB)
+        dt_by_row[int(pr)] = ((qri[None, :, :] - cb3) ** 2).sum(axis=2)
+
+    def kernel(batches):
+        for pdf in batches:
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if emb.size == 0:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.array([], dtype=np.int64),
+                        "label": np.array([], dtype=np.int32),
+                        "cent_id": np.array([], dtype=np.int64),
+                        "adist_sq": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            rows_assign = np.argmax(emb @ cnorm.T, axis=1)
+            keep = np.isin(rows_assign, probe_rows) & (
+                pdf["vec_id"].to_numpy() != QUERY_VEC_ID
+            )
+            sub_qi = np.floor(emb[keep] * PQ_SCALE).astype(np.int64)
+            sub_rows = rows_assign[keep]
+            resid = sub_qi - cqi[sub_rows]
+            adist = np.zeros(len(sub_rows), dtype=np.int64)
+            for pr, dt in dt_by_row.items():
+                sel = sub_rows == pr
+                if not sel.any():
+                    continue
+                codes, _ = _pq_encode_int(resid[sel], cb3)
+                adist[sel] = dt[codes, np.arange(PQ_M)[None, :]].sum(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "label": pdf["label"].to_numpy()[keep],
+                    "cent_id": cids[sub_rows],
+                    "adist_sq": adist,
+                }
+            )
+
+    e = spread(table(spark, sf_dir, "embeddings"))
+    cand = e.select("vec_id", "label", "embedding").mapInPandas(
+        kernel,
+        schema="vec_id bigint, label int, cent_id bigint, adist_sq bigint",
+    )
+    return cand.orderBy(F.asc("adist_sq"), F.asc("vec_id")).limit(TOP_K)
+
+
+def _pq_encode_int(ri3_flat, cb3):
+    """`_pq_encode` for ALREADY-quantized int residuals: same exact
+    einsum argmin over (B, DIM) int64 input."""
+    import numpy as np
+
+    ei3 = ri3_flat.reshape(-1, PQ_M, PQ_SUB)
+    cross = np.einsum("bms,kms->bkm", ei3, cb3)
+    en = (ei3 * ei3).sum(axis=2)
+    cn = (cb3 * cb3).sum(axis=2)
+    d = en[:, None, :] + cn[None, :, :] - 2 * cross
+    codes = np.argmin(d, axis=1)
+    b_idx = np.arange(d.shape[0])[:, None]
+    m_idx = np.arange(PQ_M)[None, :]
+    return codes, d[b_idx, codes, m_idx]

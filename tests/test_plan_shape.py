@@ -1005,3 +1005,18 @@ def test_dsir_pass2_is_jvm_map_plus_one_rollup(spark, sf_dir, ops):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ann_ivfpq_is_map_side_probe_and_adc(spark, sf_dir, ops):
+    """IVF-PQ must be ONE kernel pass: coarse assign + probe filter +
+    residual encode + per-cell ADC all map-side (centroids, residual
+    codebook and the nprobe distance tables are closure constants) —
+    no join, no window, no array across any Exchange, top-k stays
+    TakeOrderedAndProject."""
+    df = ops.QUERIES["ann_ivfpq_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending

@@ -759,3 +759,121 @@ def test_dsir_oracle_matches_python_reference(docs):
         for k, (nd, nt, ns, sm) in want.items()
     }
     assert got == want
+
+
+_IVFPQ_CASE = st.tuples(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=58, max_value=110),  # >= 2 IVF centroids
+)
+
+
+@given(_IVFPQ_CASE)
+@settings(max_examples=15, deadline=None)
+def test_ivfpq_oracle_matches_python_reference(case):
+    """DuckDB-vs-pure-Python fuzz for the IVF-PQ oracle: coarse
+    assignment tie rule, milli-int residual arithmetic, residual
+    codebook construction, per-cell ADC tables and the probed-cell
+    join. Continuous uniform vectors only — a coarse value grid would
+    manufacture mathematically-exact cosine ties whose cross-engine
+    ulp behavior is undefined (and which real embeddings don't
+    have)."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ragflow_spark.operators.similarity import (
+        _IVFPQ_ORACLE,
+        IVF_CENTROID_PICK,
+        IVF_CENTROID_STRIDE,
+        IVF_NPROBE,
+        PQ_K,
+        PQ_M,
+        PQ_SCALE,
+        PQ_SUB,
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    seed, n = case
+    rng = np.random.RandomState(seed)
+    vecs = [
+        [float(np.float32(x)) for x in rng.uniform(-1.0, 1.0, 64)]
+        for _ in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": vecs, "label": [i % 7 for i in range(n)]}
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    got = [
+        (int(r["vec_id"]), int(r["label"]), int(r["cent_id"]),
+         int(r["adist_sq"]))
+        for _, r in con.sql(_IVFPQ_ORACLE).df().iterrows()
+    ]
+
+    # pure-Python reference
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    qi = [[math.floor(x * PQ_SCALE) for x in v] for v in vecs]
+    cents = [
+        i for i in range(n) if i % IVF_CENTROID_STRIDE == IVF_CENTROID_PICK
+    ]
+
+    def assign(v):
+        return max(cents, key=lambda c: (cos(vecs[v], vecs[c]), -c))
+
+    a_of = {v: assign(v) for v in range(n)}
+    resid = {
+        v: [a - b for a, b in zip(qi[v], qi[a_of[v]])] for v in range(n)
+    }
+    cb = [resid[v] for v in range(PQ_K)]
+
+    def sq(u, w):
+        return sum((a - b) ** 2 for a, b in zip(u, w))
+
+    def encode(r):
+        out = []
+        for m in range(PQ_M):
+            sl = r[m * PQ_SUB : (m + 1) * PQ_SUB]
+            out.append(
+                min(
+                    range(PQ_K),
+                    key=lambda j: (
+                        sq(sl, cb[j][m * PQ_SUB : (m + 1) * PQ_SUB]),
+                        j,
+                    ),
+                )
+            )
+        return out
+
+    probe = sorted(cents, key=lambda c: (-cos(vecs[QUERY_VEC_ID], vecs[c]), c))[
+        :IVF_NPROBE
+    ]
+    dt = {}
+    for c in probe:
+        qr = [a - b for a, b in zip(qi[QUERY_VEC_ID], qi[c])]
+        dt[c] = [
+            [
+                sq(
+                    qr[m * PQ_SUB : (m + 1) * PQ_SUB],
+                    cb[j][m * PQ_SUB : (m + 1) * PQ_SUB],
+                )
+                for j in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+    cand = []
+    for v in range(n):
+        if v == QUERY_VEC_ID or a_of[v] not in dt:
+            continue
+        codes = encode(resid[v])
+        ad = sum(dt[a_of[v]][m][codes[m]] for m in range(PQ_M))
+        cand.append((v, v % 7, a_of[v], ad))
+    want = sorted(cand, key=lambda t: (t[3], t[0]))[:TOP_K]
+    assert got == want
