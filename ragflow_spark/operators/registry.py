@@ -46,6 +46,8 @@ PRIORITY_HEAD = [
     # unionByName+distinct, a string-functions projection), all still
     # replica-covered every round — for the same first-exposure
     # reason.
+    # round-5 sixth-wave additions (never driver-checked)
+    "bm25_topk",
     "ann_pq_topk",
     "pq_encode_stats",
     "dsir_importance_stats",

@@ -612,3 +612,181 @@ def inverted_index_stats(spark, sf_dir):
         .orderBy(F.desc("df"), F.desc("cf"), F.asc("term"))
         .limit(IDX_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# bm25_topk
+# --------------------------------------------------------------------------
+
+# Fixed query workload: term -> query memberships. One deliberately
+# rare term ("dup": df ~25/500 in the synthetic corpus vs ~390 for the
+# rest) so the idf spread actually reorders documents.
+BM25_QUERIES = {
+    0: ["spark", "join"],
+    1: ["dup", "filter"],
+    2: ["window", "agg", "scan"],
+}
+BM25_K = 10
+
+_BM25_QMAP_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, terms in sorted(BM25_QUERIES.items())
+    for t in terms
+)
+_BM25_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in BM25_QUERIES.values() for t in ts})
+)
+
+# BM25 (k1=1.2, b=0.75) in EXACT int64 milli-fixed-point — the
+# classifier_filter_stats integer-core recipe applied to ranking, so
+# the top-k cut can never straddle a cross-engine float ulp:
+#   tf-part  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#            = 22*tf / (10*tf + 3 + 9*dl*N/L)        [x10, k1=6/5 b=3/4]
+#   tfp_m    = (22000*tf*1000) // (10000*tf + 3000 + 9*dlr),
+#              dlr = (dl*N*1000) // L                 [milli length ratio]
+#   idf_m    = ((2N - 2df + 1)*1000) // (2df + 1)
+# idf is the Robertson ratio WITHOUT the log wrap: ln is not exactly
+# reproducible across Java/libm/DuckDB, and the log-free ratio is the
+# same monotone per-term ordering (the log only dampens how terms sum;
+# documented as the deterministic-ranking variant).
+_BM25_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents
+    ), dl AS (
+      SELECT doc_id, len(s)::BIGINT AS dl FROM d
+    ), g AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS l_tot FROM dl
+    ), qmap(query_id, term) AS (VALUES {_BM25_QMAP_VALUES}
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+      WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT q.query_id::BIGINT AS query_id, t.doc_id,
+             (
+               (((2*g.n_docs - 2*f.df + 1) * 1000) // (2*f.df + 1))
+               * ((22000 * t.tf * 1000) //
+                  (10000*t.tf + 3000 + 9*((dl.dl * g.n_docs * 1000) // g.l_tot)))
+             ) // 1000 AS contrib
+      FROM tf t
+      JOIN dfreq f USING (term)
+      JOIN qmap q USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN g
+    ), agg AS (
+      SELECT query_id, doc_id,
+             sum(contrib)::BIGINT AS score_milli,
+             count(*)::BIGINT AS n_hit_terms
+      FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_milli, n_hit_terms, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_milli DESC, doc_id
+      )::BIGINT AS rk FROM agg
+    ) WHERE rk <= {BM25_K}
+    """
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval over the corpus for a fixed query
+    workload — the query-side twin of inverted_index_stats (the
+    reference delegates this exact scoring to its search backend,
+    rag/nlp/search.py hybrid kw weighting; here the full-text leg is
+    a first-class distributed job). k1=1.2, b=0.75, scored entirely
+    in exact int64 milli-fixed-point (formula above the oracle) so
+    ranks are bit-identical across engines — no float ulp can flip a
+    top-k boundary.
+
+    Scale shape: tokens are FILTERED to the query vocabulary map-side
+    before anything shuffles (on a real index this is the posting-list
+    lookup; here it keeps the tf Exchange at |Q|-terms-per-doc rows,
+    never the corpus token stream); the corpus stats (N, L) are a
+    1-row aggregate folded back by broadcast, df and the query map are
+    broadcast tables of |terms| rows; the per-query top-k reuses the
+    topk_per_group two-phase local-slice shape (bounded agg state,
+    k rows per partition per query reach the merge) instead of a
+    row_number window that would funnel every candidate into |Q|
+    partitions."""
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    dl = docs.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl"), "toks"
+    )
+    g = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("l_tot"),
+    )
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    tok = dl.select(
+        "doc_id", "dl", F.explode("toks").alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # materialize the bounded posting table (<= |docs| x |terms| rows)
+    # once: df derives from the SAME branch, so without this the whole
+    # tokenize+filter subtree — i.e. the full corpus scan — executes
+    # twice (dedup_components localCheckpoint precedent; on a cluster
+    # this is the reliable-checkpoint / cached-index boundary)
+    tf = tf.localCheckpoint()
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    qmap = spark.createDataFrame(
+        [(int(qid), t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id long, term string",
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qmap), "term")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "contrib",
+            F.expr(
+                "((((2*n_docs - 2*df + 1) * 1000) div (2*df + 1))"
+                " * ((22000 * tf * 1000) div"
+                "    (10000*tf + 3000 + 9*((dl * n_docs * 1000) div l_tot)))"
+                ") div 1000"
+            ),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").cast("bigint").alias("score_milli"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+    )
+    # two-phase per-query top-k (topk_per_group shape): local slice
+    # per (partition, query), then a k-row merge per query
+    item = F.struct(
+        F.col("score_milli").alias("sm"),
+        (-F.col("doc_id")).alias("nid"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("n_hit_terms").alias("n_hit_terms"),
+    )
+    local = agg.groupBy(
+        "query_id", F.spark_partition_id().alias("pid")
+    ).agg(
+        F.slice(
+            F.sort_array(F.collect_list(item), asc=False), 1, BM25_K
+        ).alias("cand")
+    )
+    merged = (
+        local.select("query_id", F.explode("cand").alias("c"))
+        .groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("c"), asc=False), 1, BM25_K
+            ).alias("top")
+        )
+    )
+    return merged.select("query_id", F.posexplode("top")).select(
+        "query_id",
+        F.col("col.doc_id").alias("doc_id"),
+        F.col("col.sm").alias("score_milli"),
+        F.col("col.n_hit_terms").alias("n_hit_terms"),
+        (F.col("pos") + 1).cast("bigint").alias("rk"),
+    )

@@ -1020,3 +1020,28 @@ def test_ann_ivfpq_is_map_side_probe_and_adc(spark, sf_dir, ops):
     assert "Window" not in plan
     offending = arrays_crossing_exchanges(df)
     assert not offending, offending
+
+
+def test_bm25_single_scan_vocab_filtered_broadcast(spark, sf_dir, ops):
+    """BM25 ranking must (a) scan the corpus ONCE — the posting table
+    is localCheckpointed, so the df branch reuses it instead of
+    re-running tokenize+explode over the documents scan — (b) filter
+    tokens to the query vocabulary BEFORE the posting aggregate's
+    Exchange (only query-term tokens ever shuffle), (c) broadcast the
+    df / query-map / corpus-stats sides, and (d) rank with the
+    two-phase local-slice shape, never a Window or a global Sort."""
+    df = ops.QUERIES["bm25_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "Sort " not in plan.replace("sort_array", "")
+    # the vocab IN-filter sits under the explode, upstream of every
+    # Exchange in the scan branch: the plan prints top-down, so the
+    # LAST "Filter ... IN" line must come after (deeper than) the
+    # last Exchange line that precedes the FileScan
+    scan_branch = plan[: plan.index("FileScan")]
+    filt = scan_branch.rindex(" IN (")
+    exch = scan_branch.rindex("Exchange hashpartitioning")
+    assert filt > exch, "vocab filter not below the posting Exchange"

@@ -877,3 +877,92 @@ def test_ivfpq_oracle_matches_python_reference(case):
         cand.append((v, v % 7, a_of[v], ad))
     want = sorted(cand, key=lambda t: (t[3], t[0]))[:TOP_K]
     assert got == want
+
+
+_BM25_WORDS = [
+    "spark", "join", "dup", "filter", "window", "agg", "scan",
+    "x", "y", "zz",
+]
+_BM25_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(_BM25_WORDS), min_size=0, max_size=30
+    ).map(" ".join),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(_BM25_DOCS)
+@settings(max_examples=60, deadline=None)
+def test_bm25_oracle_matches_python_reference(texts):
+    """DuckDB-vs-Python fuzz for the bm25_topk oracle: the whole
+    scoring path is exact int64 milli-fixed-point (rational idf x
+    saturated tf, floor division everywhere), so an independent loop
+    reference must reproduce every score and every rank bit-for-bit —
+    any drift means the SQL's `//` placement diverged from the spec
+    in the operator docstring."""
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.textops import (
+        BM25_K,
+        BM25_QUERIES,
+        _BM25_ORACLE,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = sorted(
+        tuple(int(v) for v in row)
+        for row in con.sql(_BM25_ORACLE).df()[
+            ["query_id", "doc_id", "score_milli", "n_hit_terms", "rk"]
+        ].itertuples(index=False, name=None)
+    )
+
+    # pure-Python reference: same quantization spec, independent code
+    toks = [t.split(" ") for t in texts]
+    n_docs = len(toks)
+    dls = [len(ts) for ts in toks]
+    l_tot = sum(dls)
+    terms = {t for ts in BM25_QUERIES.values() for t in ts}
+    tf: dict[tuple[int, str], int] = {}
+    for did, ts in enumerate(toks):
+        for t in ts:
+            if t in terms:
+                tf[(did, t)] = tf.get((did, t), 0) + 1
+    df: dict[str, int] = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    want = []
+    for qid, qterms in BM25_QUERIES.items():
+        scores: dict[int, list[int]] = {}
+        for t in qterms:
+            for did in range(n_docs):
+                f = tf.get((did, t))
+                if not f:
+                    continue
+                dlr = dls[did] * n_docs * 1000 // l_tot
+                tfp_m = (22000 * f * 1000) // (
+                    10000 * f + 3000 + 9 * dlr
+                )
+                idf_m = ((2 * n_docs - 2 * df[t] + 1) * 1000) // (
+                    2 * df[t] + 1
+                )
+                cell = scores.setdefault(did, [0, 0])
+                cell[0] += idf_m * tfp_m // 1000
+                cell[1] += 1
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )[:BM25_K]
+        for rk, (did, (sm, nh)) in enumerate(ranked, start=1):
+            want.append((qid, did, sm, nh, rk))
+    assert got == sorted(want)
