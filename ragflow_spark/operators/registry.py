@@ -48,6 +48,7 @@ PRIORITY_HEAD = [
     # reason.
     # round-5 sixth-wave additions (never driver-checked)
     "bm25_topk",
+    "zorder_layout_plan",
     "ann_pq_topk",
     "pq_encode_stats",
     "dsir_importance_stats",

@@ -2029,3 +2029,171 @@ def dsir_importance_stats(spark, sf_dir):
             4,
         ).alias("sel_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# zorder_layout_plan
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # per-dimension key width after range normalization
+ZORDER_BIN_SHIFT = 10  # 16-bit z -> 64 z-curve bins
+ZORDER_LIN_SHIFT = 2  # 8-bit linear key -> 64 bins (same bin budget)
+ZORDER_SIG_MIX = 1_000_003
+# packing base for (key, bin) distinct pairs: bin < 2^16, key < 2^8
+ZORDER_PAIR_BASE = 1 << 20
+
+
+def _spread_stages(src: str, out: str) -> list[tuple[str, str]]:
+    """Morton Part1By1 bit spreading for an 8-bit value as three
+    staged (col_name, sql_expr) projections — plain &/|/<< integer
+    ops, the identical text runs on Spark SQL and DuckDB."""
+    a, b = f"{out}_s1", f"{out}_s2"
+    return [
+        (a, f"(({src} | ({src} << 4)) & 3855)"),  # 0x0F0F
+        (b, f"(({a} | ({a} << 2)) & 13107)"),  # 0x3333
+        (out, f"(({b} | ({b} << 1)) & 21845)"),  # 0x5555
+    ]
+
+
+_ZORDER_STAGES = _spread_stages("x8", "xs") + _spread_stages("y8", "ys")
+_ZORDER_STAGE_SQL = ",\n             ".join(
+    f"{expr} AS {name}" for name, expr in _ZORDER_STAGES
+)
+
+_ZORDER_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 60000000 AS minute FROM events
+    ), g AS (
+      SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+             min(minute) AS ymin, max(minute) AS ymax
+      FROM e
+    ), k AS (
+      SELECT ((user_id - xmin) * 256) // (xmax - xmin + 1) AS x8,
+             ((minute - ymin) * 256) // (ymax - ymin + 1) AS y8
+      FROM e CROSS JOIN g
+    ), s1 AS (
+      SELECT x8, y8,
+             {_ZORDER_STAGE_SQL}
+      FROM k
+    ), zz AS (
+      SELECT x8, y8, (xs | (ys << 1)) AS z FROM s1
+    ), l AS (
+      SELECT 'zorder' AS layout, x8, y8, z,
+             (z >> {ZORDER_BIN_SHIFT}) AS bin FROM zz
+      UNION ALL
+      SELECT 'time', x8, y8, z, (y8 >> {ZORDER_LIN_SHIFT}) FROM zz
+      UNION ALL
+      SELECT 'user', x8, y8, z, (x8 >> {ZORDER_LIN_SHIFT}) FROM zz
+    )
+    SELECT layout,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT bin)::BIGINT AS n_bins,
+           count(DISTINCT x8 * {ZORDER_PAIR_BASE} + bin)::BIGINT
+             AS user_probe_pairs,
+           round(count(DISTINCT x8 * {ZORDER_PAIR_BASE} + bin) * 1.0
+                 / count(DISTINCT x8), 4) AS avg_bins_per_user,
+           count(DISTINCT y8 * {ZORDER_PAIR_BASE} + bin)::BIGINT
+             AS slot_probe_pairs,
+           round(count(DISTINCT y8 * {ZORDER_PAIR_BASE} + bin) * 1.0
+                 / count(DISTINCT y8), 4) AS avg_bins_per_slot,
+           bit_xor(bin * {ZORDER_SIG_MIX} + z)::BIGINT AS layout_sig
+    FROM l GROUP BY layout
+    """
+
+
+@register("zorder_layout_plan", oracle=_ZORDER_ORACLE)
+def zorder_layout_plan(spark, sf_dir):
+    """Multi-dimensional data-layout planner + pruning audit — the
+    OPTIMIZE ZORDER maintenance job (Iceberg sort-order rewrite /
+    Delta Z-ordering) that decides how a 100 TB event table is
+    clustered into files so BOTH per-user and per-time-range point
+    queries can skip most of them via file-level min/max stats.
+
+    Each event's (user_id, event-minute) keys are range-normalized to
+    8 bits against the table min/max, bit-interleaved into a 16-bit
+    Morton z-value (three staged &/|/<< projections per dimension —
+    exact int64, the identical expression text runs on both engines),
+    and assigned to one of 64 bins under three candidate layouts:
+    the z-curve (z >> {ZORDER_BIN_SHIFT}), time-linear, and
+    user-linear. The audit reports, per layout, the file-skipping
+    cost of each probe class: user_probe_pairs = sum over users of
+    how many bins that user's rows land in (= files a user_id=U scan
+    must open under perfect min/max pruning), the same per time slot,
+    and a bit_xor signature over (bin, z) pairs that pins every row's
+    exact bin assignment. The z-order row shows the balance both
+    linear layouts miss: each linear layout is perfect for its own
+    probe class (~1 bin) and worthless for the other (~all bins).
+
+    Scale shape: the min/max fold is a 1-row aggregate folded back
+    broadcast — a second, column-pruned pass over just (user_id, ts);
+    on a real Iceberg/Delta table the bounds come FREE from manifest
+    min/max stats, so the audit is one pass there (the two-pass form
+    is the honest filesystem-parquet fallback and is what the plan
+    test pins); key normalization, spreading, and binning are row-local
+    projections on the scan; the 3-layout explode is a fixed 3-literal
+    array; the multi-DISTINCT aggregate Expands map-side and
+    partial-aggregates, so the Exchange carries distinct (layout, key,
+    bin) triples — bounded by 3 * 256 * 64 rows regardless of table
+    size. The actual rewrite this plans is repartitionByRange(z) +
+    write: engine-internal, so the registered audit pins the z-math
+    the rewrite would sort by."""
+    # ts is TIMESTAMP_NTZ: stay in the naive domain (the
+    # hopping_event_counts precedent). timestampdiff(MINUTE) anchored
+    # at the epoch is NTZ-native and equals the oracle's
+    # epoch_us(ts) // 60000000 exactly — complete minutes since an
+    # aligned anchor == floor(micros / 60e6) for any post-1970 ts.
+    ev = spread(table(spark, sf_dir, "events")).select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("minute"),
+    )
+    g = ev.agg(
+        F.min("user_id").alias("xmin"),
+        F.max("user_id").alias("xmax"),
+        F.min("minute").alias("ymin"),
+        F.max("minute").alias("ymax"),
+    )
+    k = ev.crossJoin(F.broadcast(g)).selectExpr(
+        "((user_id - xmin) * 256) div (xmax - xmin + 1) AS x8",
+        "((minute - ymin) * 256) div (ymax - ymin + 1) AS y8",
+    )
+    for name, expr_sql in _ZORDER_STAGES:
+        k = k.withColumn(name, F.expr(expr_sql))
+    zz = k.select("x8", "y8", F.expr("xs | (ys << 1)").alias("z"))
+    layouts = zz.select(
+        "x8",
+        "y8",
+        "z",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"z >> {ZORDER_BIN_SHIFT}").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("time").alias("layout"),
+                    F.expr(f"y8 >> {ZORDER_LIN_SHIFT}").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("user").alias("layout"),
+                    F.expr(f"x8 >> {ZORDER_LIN_SHIFT}").alias("bin"),
+                ),
+            )
+        ).alias("lb"),
+    ).select("x8", "y8", "z", "lb.layout", "lb.bin")
+    pair_u = F.expr(f"x8 * {ZORDER_PAIR_BASE} + bin")
+    pair_s = F.expr(f"y8 * {ZORDER_PAIR_BASE} + bin")
+    return layouts.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("bin").cast("bigint").alias("n_bins"),
+        F.countDistinct(pair_u).cast("bigint").alias("user_probe_pairs"),
+        F.round(
+            F.countDistinct(pair_u) * F.lit(1.0) / F.countDistinct("x8"), 4
+        ).alias("avg_bins_per_user"),
+        F.countDistinct(pair_s).cast("bigint").alias("slot_probe_pairs"),
+        F.round(
+            F.countDistinct(pair_s) * F.lit(1.0) / F.countDistinct("y8"), 4
+        ).alias("avg_bins_per_slot"),
+        F.expr(f"bit_xor(bin * {ZORDER_SIG_MIX} + z)").alias("layout_sig"),
+    )

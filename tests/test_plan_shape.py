@@ -1045,3 +1045,18 @@ def test_bm25_single_scan_vocab_filtered_broadcast(spark, sf_dir, ops):
     filt = scan_branch.rindex(" IN (")
     exch = scan_branch.rindex("Exchange hashpartitioning")
     assert filt > exch, "vocab filter not below the posting Exchange"
+
+
+def test_zorder_layout_is_single_scan_broadcast_fold(spark, sf_dir, ops):
+    """The layout audit must scan events ONCE, fold the min/max
+    normalization bounds back via a broadcast 1-row cross join, and
+    keep every z/bin computation row-local — the only Exchange is the
+    multi-DISTINCT aggregate's, whose input the Expand + partial
+    aggregate bounds at distinct (layout, key, bin) triples."""
+    df = ops.QUERIES["zorder_layout_plan"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 2  # data branch + 1-row bounds agg
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "Expand" in plan

@@ -966,3 +966,99 @@ def test_bm25_oracle_matches_python_reference(texts):
         for rk, (did, (sm, nh)) in enumerate(ranked, start=1):
             want.append((qid, did, sm, nh, rk))
     assert got == sorted(want)
+
+
+_ZORDER_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=300),  # user_id
+        st.integers(min_value=0, max_value=90_000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(_ZORDER_EVENTS)
+@settings(max_examples=60, deadline=None)
+def test_zorder_oracle_matches_python_reference(rows):
+    """DuckDB-vs-Python fuzz for the zorder_layout_plan oracle: the
+    risky half is the Morton spread (three magic-number &/|/<< stages)
+    and the floor-division range normalization — the reference
+    interleaves bits with a direct loop, so any drift in the staged
+    magic numbers or a `//`-vs-round slip in the SQL fails here."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.trainprep import (
+        ZORDER_BIN_SHIFT,
+        ZORDER_LIN_SHIFT,
+        ZORDER_PAIR_BASE,
+        ZORDER_SIG_MIX,
+        _ZORDER_ORACLE,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + dt.timedelta(seconds=s) for _, s in rows],
+            "user_id": [u for u, _ in rows],
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = {
+        r["layout"]: r for _, r in con.sql(_ZORDER_ORACLE).df().iterrows()
+    }
+
+    def interleave(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    epoch = dt.datetime(1970, 1, 1)
+    mins = [
+        int((base + dt.timedelta(seconds=s) - epoch).total_seconds())
+        // 60
+        for _, s in rows
+    ]
+    us = [u for u, _ in rows]
+    xmin, xmax = min(us), max(us)
+    ymin, ymax = min(mins), max(mins)
+    recs = []
+    for u, m in zip(us, mins):
+        x8 = (u - xmin) * 256 // (xmax - xmin + 1)
+        y8 = (m - ymin) * 256 // (ymax - ymin + 1)
+        z = interleave(x8, y8)
+        recs.append((x8, y8, z))
+    layouts = {
+        "zorder": [(x, y, z, z >> ZORDER_BIN_SHIFT) for x, y, z in recs],
+        "time": [(x, y, z, y >> ZORDER_LIN_SHIFT) for x, y, z in recs],
+        "user": [(x, y, z, x >> ZORDER_LIN_SHIFT) for x, y, z in recs],
+    }
+    assert set(got) == set(layouts)
+    for name, rs in layouts.items():
+        r = got[name]
+        sig = 0
+        for _, _, z, b in rs:
+            sig ^= b * ZORDER_SIG_MIX + z
+        n_users = len({x for x, _, _, _ in rs})
+        n_slots = len({y for _, y, _, _ in rs})
+        upairs = len({(x, b) for x, _, _, b in rs})
+        spairs = len({(y, b) for _, y, _, b in rs})
+        assert int(r["n_rows"]) == len(rs)
+        assert int(r["n_bins"]) == len({b for _, _, _, b in rs})
+        assert int(r["user_probe_pairs"]) == upairs
+        assert int(r["slot_probe_pairs"]) == spairs
+        assert abs(r["avg_bins_per_user"] - round(upairs / n_users, 4)) <= 1e-4
+        assert abs(r["avg_bins_per_slot"] - round(spairs / n_slots, 4)) <= 1e-4
+        assert int(r["layout_sig"]) == sig
+        # the packed-int pair keys must be collision-free
+        assert all(b < ZORDER_PAIR_BASE for _, _, _, b in rs)
