@@ -889,3 +889,176 @@ def dedup_substring_trim(spark, sf_dir):
             ).alias("kept_tokens"),
         )
     )
+
+
+# ------------------------------------------------- containment near-dup
+
+# flag a pair when the smaller shingle set is >= 1/4 contained in the
+# larger (integer cross-multiply — no float at the cut boundary)
+CONTAIN_MIN_NUM, CONTAIN_MIN_DEN = 1, 4
+# anchor-shingle blocking: a shingle is an ANCHOR iff its md5 starts
+# with one of these hex chars (p = 4/16 = 1/4 deterministic sample);
+# anchors seen in more than CONTAIN_MAX_DF docs are stop-shingles and
+# generate no candidates (boilerplate guard + pair-space bound)
+CONTAIN_ANCHOR_HEX = ("0", "1", "2", "3")
+CONTAIN_MAX_DF = 32
+
+_CONTAIN_ANCHOR_IN = ", ".join(f"'{h}'" for h in CONTAIN_ANCHOR_HEX)
+
+
+@register(
+    "neardup_containment",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS w FROM documents
+    ), sh_t AS (
+      SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+      FROM docs WHERE len(w) >= 3
+    ), anchors AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh_t)
+      WHERE substring(md5(s), 1, 1) IN ({_CONTAIN_ANCHOR_IN})
+    ), live AS (
+      SELECT s FROM anchors GROUP BY s
+      HAVING count(*) BETWEEN 2 AND {CONTAIN_MAX_DF}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM anchors a JOIN live USING (s)
+           JOIN anchors b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT doc_a, doc_b,
+             len(x.sh) AS sa, len(y.sh) AS sb,
+             len(list_intersect(x.sh, y.sh)) AS inter
+      FROM cand JOIN sh_t x ON cand.doc_a = x.doc_id
+                JOIN sh_t y ON cand.doc_b = y.doc_id
+    )
+    SELECT CASE WHEN sa <= sb THEN doc_a ELSE doc_b END AS doc_small,
+           CASE WHEN sa <= sb THEN doc_b ELSE doc_a END AS doc_big,
+           least(sa, sb)::BIGINT AS n_sh_small,
+           greatest(sa, sb)::BIGINT AS n_sh_big,
+           round(inter * 1.0 / greatest(least(sa, sb), 1), 4)
+             AS containment,
+           round(inter * 1.0 / greatest(sa + sb - inter, 1), 4) AS jaccard
+    FROM scored
+    WHERE inter * {CONTAIN_MIN_DEN}
+          >= greatest(least(sa, sb), 1) * {CONTAIN_MIN_NUM}
+    """,
+)
+def neardup_containment(spark, sf_dir):
+    """Asymmetric CONTAINMENT near-dup detection (Broder 1997 §2 —
+    resemblance's directional twin, c(A,B) = |A∩B| / |A|): the case
+    Jaccard structurally misses, a small document (a quote, a
+    boilerplate block, a syndicated excerpt) swallowed by a much
+    larger one — the intersection is nearly all of the small set but
+    a sliver of the union, so jaccard stays tiny while containment
+    saturates. C4/RefinedWeb-class pipelines need both scores to
+    decide which side of an inclusion pair to keep.
+
+    Candidates do NOT come from the minhash bands: LSH collisions are
+    RESEMBLANCE-biased (a contained small doc rarely collides with
+    its much larger container), so this operator blocks on ANCHOR
+    shingles instead — a deterministic 1/4 mod-p sample of each doc's
+    shingles (md5 first hex in 0-3), with anchors appearing in more
+    than {CONTAIN_MAX_DF} docs dropped as stop-shingles. A containment
+    pair shares most of the SMALL set's shingles, so the chance no
+    shared shingle is sampled decays as (3/4)^|A∩B| — recall is high
+    exactly where containment is high, independent of the size ratio.
+
+    100 TB shape: the anchor join ships (16-byte-hashable shingle,
+    doc_id) pairs only; pair space is bounded by the stop-shingle cap
+    (sum over live anchors of df^2 <= {CONTAIN_MAX_DF} * n_anchors);
+    the verify join ships raw TEXT never shingle arrays (plan-tested,
+    same rule as neardup_jaccard), and the threshold cut is an integer
+    cross-multiply (inter * {CONTAIN_MIN_DEN} >= |small| *
+    {CONTAIN_MIN_NUM}) so no float sits at the keep/drop boundary.
+    Output orders each pair (smaller shingle set first, doc_id
+    tie-break) and reports both scores so the containment-vs-jaccard
+    gap is auditable."""
+    d = _spread(table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.col("text")), " ")
+    docs = d.filter(F.size(words) >= 3).select("doc_id", "text")
+    anchors = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_spark_shingles(F.col("text")))
+            ).alias("s"),
+        )
+        .filter(
+            F.substring(F.md5(F.col("s")), 1, 1).isin(
+                *CONTAIN_ANCHOR_HEX
+            )
+        )
+        .distinct()
+    )
+    live = (
+        anchors.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= 2) & (F.col("df") <= CONTAIN_MAX_DF)
+        )
+        .select("s")
+    )
+    a = anchors.join(live, "s").alias("a")
+    b = anchors.join(live, "s").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    paired = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.array_distinct(_spark_shingles(F.col("text_a"))).alias("sh_a"),
+            F.array_distinct(_spark_shingles(F.col("text_b"))).alias("sh_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("sa"),
+            F.size("sh_b").alias("sb"),
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias(
+                "inter"
+            ),
+        )
+    )
+    small = F.greatest(F.least(F.col("sa"), F.col("sb")), F.lit(1))
+    return (
+        paired.filter(
+            F.col("inter") * F.lit(CONTAIN_MIN_DEN)
+            >= small * F.lit(CONTAIN_MIN_NUM)
+        )
+        .select(
+            F.when(F.col("sa") <= F.col("sb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_small"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_big"),
+            F.least("sa", "sb").cast("bigint").alias("n_sh_small"),
+            F.greatest("sa", "sb").cast("bigint").alias("n_sh_big"),
+            F.round(F.col("inter") * F.lit(1.0) / small, 4).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("inter")
+                * F.lit(1.0)
+                / F.greatest(
+                    F.col("sa") + F.col("sb") - F.col("inter"), F.lit(1)
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )

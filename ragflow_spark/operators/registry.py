@@ -49,6 +49,7 @@ PRIORITY_HEAD = [
     # round-5 sixth-wave additions (never driver-checked)
     "bm25_topk",
     "zorder_layout_plan",
+    "neardup_containment",
     "ann_pq_topk",
     "pq_encode_stats",
     "dsir_importance_stats",

@@ -1060,3 +1060,12 @@ def test_zorder_layout_is_single_scan_broadcast_fold(spark, sf_dir, ops):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "Expand" in plan
+
+
+def test_containment_pair_exchange_carries_no_arrays(spark, sf_dir, ops):
+    """Containment verify join follows the neardup_jaccard rule: the
+    pair join ships text, never shingle arrays — no array-typed
+    attribute may cross any Exchange."""
+    df = ops.QUERIES["neardup_containment"](spark, sf_dir)
+    offending = arrays_crossing_exchanges(df, include_broadcast=True)
+    assert not offending, offending
