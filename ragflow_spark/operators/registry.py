@@ -50,6 +50,7 @@ PRIORITY_HEAD = [
     "bm25_topk",
     "zorder_layout_plan",
     "neardup_containment",
+    "posting_compress_stats",
     "ann_pq_topk",
     "pq_encode_stats",
     "dsir_importance_stats",

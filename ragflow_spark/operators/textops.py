@@ -790,3 +790,133 @@ def bm25_topk(spark, sf_dir):
         F.col("col.n_hit_terms").alias("n_hit_terms"),
         (F.col("pos") + 1).cast("bigint").alias("rk"),
     )
+
+
+# --------------------------------------------------------------------------
+# posting_compress_stats
+# --------------------------------------------------------------------------
+
+POSTING_BLOCK = 128  # Lucene-style posting block: deltas restart per block
+# varint width of a delta gap (1..4 groups of 7 bits covers doc ids to
+# 2^28 — the synthetic corpora stay far inside; at web scale the CASE
+# ladder extends to 5/6 groups, same shape)
+_VARINT_CASE = (
+    "CASE WHEN {g} < 128 THEN 1 WHEN {g} < 16384 THEN 2 "
+    "WHEN {g} < 2097152 THEN 3 ELSE 4 END"
+)
+POSTING_SIG_MIX = 1_000_003
+
+_POSTING_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), postings AS (
+      SELECT term, doc_id FROM tok GROUP BY term, doc_id
+    ), d AS (
+      SELECT term, doc_id, doc_id // {POSTING_BLOCK} AS blk,
+             lag(doc_id) OVER (
+               PARTITION BY term, doc_id // {POSTING_BLOCK}
+               ORDER BY doc_id
+             ) AS prev
+      FROM postings
+    ), sized AS (
+      SELECT term, blk,
+             CASE WHEN prev IS NULL THEN 8
+                  ELSE {_VARINT_CASE.format(g="doc_id - prev")} END AS nbytes
+      FROM d
+    ), per_block AS (
+      SELECT term, blk,
+             count(*)::BIGINT AS n_postings,
+             sum(nbytes)::BIGINT AS blk_bytes
+      FROM sized GROUP BY term, blk
+    ), per_term AS (
+      SELECT term,
+             sum(n_postings)::BIGINT AS df,
+             count(*)::BIGINT AS n_blocks,
+             sum(blk_bytes)::BIGINT AS varint_bytes,
+             (sum(n_postings) * 8)::BIGINT AS fixed_bytes,
+             bit_xor(blk * {POSTING_SIG_MIX} + blk_bytes)::BIGINT
+               AS blocks_sig
+      FROM per_block GROUP BY term
+    )
+    SELECT term, df, n_blocks, varint_bytes, fixed_bytes,
+           round(fixed_bytes * 1.0 / varint_bytes, 4) AS compression,
+           blocks_sig
+    FROM per_term
+    ORDER BY df DESC, varint_bytes DESC, term ASC LIMIT {IDX_TOPK}
+    """
+
+
+@register("posting_compress_stats", oracle=_POSTING_ORACLE)
+def posting_compress_stats(spark, sf_dir):
+    """Posting-list storage planning — the third leg of the indexing
+    family (inverted_index_stats builds, bm25_topk queries, this op
+    sizes what gets written): block-relative delta + varint encoding,
+    the Lucene/PforDelta posting format. Each term's sorted doc ids
+    split into {POSTING_BLOCK}-id blocks; the first entry of a block
+    is an 8-byte absolute (the skip-pointer restart), every subsequent
+    entry costs the varint width of its gap (1 byte under 128, 2 under
+    16384, ...). Output: the top-{IDX_TOPK} terms by df with exact
+    varint vs fixed-width byte counts, the compression ratio, and a
+    bit_xor signature over (block, block_bytes) pairs that pins every
+    block's exact encoded size. Integer arithmetic end to end.
+
+    Scale shape: restarting deltas per doc-id block is what makes this
+    computable at web scale — the lag window partitions by (term,
+    block), so no window partition ever exceeds {POSTING_BLOCK}
+    entries and a hot term (df = the whole corpus) splits into
+    df/{POSTING_BLOCK} independent bounded partitions instead of one
+    straggler reducer (the same reason the real format has blocks:
+    skip pointers need restart points). The posting reduction is
+    map-side combinable; the per-term rollup ships one row per block."""
+    tok = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    postings = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).select("term", "doc_id")
+    from pyspark.sql import Window
+
+    blk = F.expr(f"doc_id div {POSTING_BLOCK}")
+    w = Window.partitionBy("term", "blk").orderBy("doc_id")
+    d = postings.withColumn("blk", blk).withColumn(
+        "prev", F.lag("doc_id").over(w)
+    )
+    gap = F.col("doc_id") - F.col("prev")
+    nbytes = F.when(F.col("prev").isNull(), 8).otherwise(
+        F.when(gap < 128, 1)
+        .when(gap < 16384, 2)
+        .when(gap < 2097152, 3)
+        .otherwise(4)
+    )
+    per_block = d.select("term", "blk", nbytes.alias("nbytes")).groupBy(
+        "term", "blk"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        F.sum("nbytes").cast("bigint").alias("blk_bytes"),
+    )
+    per_term = per_block.groupBy("term").agg(
+        F.sum("n_postings").cast("bigint").alias("df"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("blk_bytes").cast("bigint").alias("varint_bytes"),
+        (F.sum("n_postings") * 8).cast("bigint").alias("fixed_bytes"),
+        F.expr(
+            f"bit_xor(blk * {POSTING_SIG_MIX} + blk_bytes)"
+        ).alias("blocks_sig"),
+    )
+    return (
+        per_term.select(
+            "term",
+            "df",
+            "n_blocks",
+            "varint_bytes",
+            "fixed_bytes",
+            F.round(
+                F.col("fixed_bytes") * F.lit(1.0) / F.col("varint_bytes"), 4
+            ).alias("compression"),
+            "blocks_sig",
+        )
+        .orderBy(F.desc("df"), F.desc("varint_bytes"), F.asc("term"))
+        .limit(IDX_TOPK)
+    )

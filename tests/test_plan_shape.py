@@ -1078,3 +1078,18 @@ def test_containment_pair_space_carries_no_arrays(spark, sf_dir, ops):
         if not ("sh_a#" in o or "sh_b#" in o or "sh#" in o)
     ]
     assert not offending, offending
+
+
+def test_posting_compress_window_is_block_bounded(spark, sf_dir, ops):
+    """The delta-encoding lag window must partition by (term, block),
+    never by term alone: a term-keyed window funnels a hot term's
+    whole posting list (df = corpus size) into one reducer; the block
+    key bounds every window partition at POSTING_BLOCK entries."""
+    df = ops.QUERIES["posting_compress_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" in plan
+    import re as _re
+
+    spec = _re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert spec, plan
+    assert "term" in spec.group(1) and "blk" in spec.group(1), spec.group(1)

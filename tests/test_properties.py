@@ -1062,3 +1062,77 @@ def test_zorder_oracle_matches_python_reference(rows):
         assert int(r["layout_sig"]) == sig
         # the packed-int pair keys must be collision-free
         assert all(b < ZORDER_PAIR_BASE for _, _, _, b in rs)
+
+
+_POSTING_DOCSETS = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma"]),
+        min_size=0,
+        max_size=3,
+        unique=True,
+    ),
+    min_size=1,
+    max_size=400,
+)
+
+
+@given(_POSTING_DOCSETS)
+@settings(max_examples=40, deadline=None)
+def test_posting_compress_oracle_matches_python_reference(memberships):
+    """DuckDB-vs-Python fuzz for the posting_compress_stats oracle:
+    an independent loop encoder (explicit block restarts + a varint
+    byte-width function) must reproduce every term's varint byte
+    count, block count, and per-block signature. doc_ids are spread
+    (i*7) so gaps regularly cross the 128 one-byte/two-byte varint
+    boundary and block restarts land mid-list."""
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.textops import (
+        POSTING_BLOCK,
+        POSTING_SIG_MIX,
+        _POSTING_ORACLE,
+    )
+
+    doc_ids = [i * 7 for i in range(len(memberships))]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "text": [" ".join(ms) if ms else "zzz" for ms in memberships],
+            "lang": "en",
+            "source": "s0",
+            "n_chars": 1,
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {
+        r["term"]: r for _, r in con.sql(_POSTING_ORACLE).df().iterrows()
+    }
+
+    def varint(g):
+        return 1 if g < 128 else 2 if g < 16384 else 3 if g < 2097152 else 4
+
+    terms = {}
+    for did, ms in zip(doc_ids, memberships):
+        for t in ms if ms else ["zzz"]:
+            terms.setdefault(t, []).append(did)
+    for t, ids in terms.items():
+        if t not in got:
+            continue  # outside the top-k cut
+        blocks = {}
+        for i, did in enumerate(sorted(ids)):
+            b = did // POSTING_BLOCK
+            prev = sorted(ids)[i - 1] if i > 0 else None
+            restart = prev is None or prev // POSTING_BLOCK != b
+            blocks.setdefault(b, 0)
+            blocks[b] += 8 if restart else varint(did - prev)
+        r = got[t]
+        assert int(r["df"]) == len(ids)
+        assert int(r["n_blocks"]) == len(blocks)
+        assert int(r["varint_bytes"]) == sum(blocks.values())
+        assert int(r["fixed_bytes"]) == 8 * len(ids)
+        sig = 0
+        for b, nb in blocks.items():
+            sig ^= b * POSTING_SIG_MIX + nb
+        assert int(r["blocks_sig"]) == sig
