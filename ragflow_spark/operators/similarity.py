@@ -1738,3 +1738,119 @@ def _pq_encode_int(ri3_flat, cb3):
     b_idx = np.arange(d.shape[0])[:, None]
     m_idx = np.arange(PQ_M)[None, :]
     return codes, d[b_idx, codes, m_idx]
+
+
+# ------------------------------------------------- scalar quantization
+
+# SQ8 (FAISS ScalarQuantizer QT_8bit): per-DIMENSION trained min/max
+# over the corpus, each component encoded to one byte —
+# code = floor((v - min_d) * 255 / (max_d - min_d)) — the simpler of
+# the two deployed ANN memory formats next to PQ (4x over float32,
+# no codebook). Components are milli-quantized first (the PQ_SCALE
+# recipe) so train, encode, and reconstruction are exact int64 on
+# both engines.
+SQ8_LEVELS = 255
+SQ8_SIG_MIX = 1_000_003
+SQ8_CODE_MIX = 131
+
+_SQ8_ORACLE = f"""
+    WITH qe AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * {PQ_SCALE})::BIGINT) AS qi
+      FROM embeddings
+    ), dims AS (
+      SELECT vec_id, label, t.d AS dim, qi[t.d] AS v
+      FROM qe CROSS JOIN range(1, {DIM} + 1) AS t(d)
+    ), st AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx FROM dims GROUP BY dim
+    ), enc AS (
+      SELECT vec_id, label, dims.dim, v, mn, mx,
+             CASE WHEN mx = mn THEN 0
+                  ELSE ((v - mn) * {SQ8_LEVELS}) // (mx - mn) END AS code
+      FROM dims JOIN st USING (dim)
+    ), rec AS (
+      SELECT vec_id, label, dim, code,
+             v - (mn + (code * (mx - mn)) // {SQ8_LEVELS}) AS resid
+      FROM enc
+    ), pv AS (
+      SELECT vec_id, label,
+             sum(resid * resid)::BIGINT AS ssr,
+             bit_xor(dim * {SQ8_CODE_MIX} + code)::BIGINT AS codes_sig
+      FROM rec GROUP BY vec_id, label
+    )
+    SELECT label::BIGINT AS label,
+           count(*)::BIGINT AS n_vecs,
+           sum(ssr)::BIGINT AS total_ssr,
+           max(ssr)::BIGINT AS max_ssr,
+           round(avg(ssr), 4) AS avg_ssr,
+           bit_xor(vec_id * {SQ8_SIG_MIX} + ssr)::BIGINT AS vec_sig,
+           bit_xor(vec_id * {SQ8_SIG_MIX} + codes_sig)::BIGINT AS code_sig
+    FROM pv GROUP BY label
+    """
+
+
+@register("sq8_encode_stats", oracle=_SQ8_ORACLE)
+def sq8_encode_stats(spark, sf_dir):
+    """Scalar-quantization (SQ8) encode audit — the OTHER deployed
+    ANN memory format next to PQ (FAISS QT_8bit; 4x compression, no
+    codebook, the default at 10^8-vector scale where PQ's recall loss
+    is not worth paying): per-dimension min/max trained over the
+    corpus, every component encoded to one byte, and the exact
+    integer reconstruction residual audited per label — total / max /
+    avg squared residual plus two bit_xor signatures that pin every
+    vector's residual AND every single byte code corpus-wide (a
+    one-code drift in any dimension of any vector fails the oracle).
+
+    Exactness: components are milli-quantized (floor(x *
+    {PQ_SCALE})) before training, so min/max, code = ((v - mn) *
+    {SQ8_LEVELS}) div (mx - mn), and the reconstruction are all int64
+    on both engines — no float boundary anywhere.
+
+    Scale shape: the train pass is a {DIM}-row min/max aggregate
+    folded back broadcast (FAISS trains the quantizer on a sample —
+    at 10^12 vectors the pass runs on one); encode + residual are
+    row-local on the exploded (vec_id, dim, v) stream with map-side
+    partial aggregation, so the only Exchanges carry the bounded
+    per-dim stats and the per-label rollup rows — raw embeddings
+    never shuffle (the ANN-family invariant)."""
+    qe = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * PQ_SCALE).cast("bigint"),
+        ).alias("qi"),
+    )
+    dims = qe.select(
+        "vec_id", "label", F.posexplode("qi").alias("pos", "v")
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("dim"), "v"
+    )
+    st = dims.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    enc = dims.join(F.broadcast(st), "dim").withColumn(
+        "code",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.expr(f"((v - mn) * {SQ8_LEVELS}) div (mx - mn)")
+        ),
+    )
+    rec = enc.withColumn(
+        "resid",
+        F.expr(f"v - (mn + (code * (mx - mn)) div {SQ8_LEVELS})"),
+    )
+    pv = rec.groupBy("vec_id", "label").agg(
+        F.sum(F.col("resid") * F.col("resid")).cast("bigint").alias("ssr"),
+        F.expr(f"bit_xor(dim * {SQ8_CODE_MIX} + code)").alias("codes_sig"),
+    )
+    return pv.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("ssr").cast("bigint").alias("total_ssr"),
+        F.max("ssr").cast("bigint").alias("max_ssr"),
+        F.round(F.avg("ssr"), 4).alias("avg_ssr"),
+        F.expr(f"bit_xor(vec_id * {SQ8_SIG_MIX} + ssr)").alias("vec_sig"),
+        F.expr(f"bit_xor(vec_id * {SQ8_SIG_MIX} + codes_sig)").alias(
+            "code_sig"
+        ),
+    )

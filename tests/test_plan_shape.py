@@ -1093,3 +1093,14 @@ def test_posting_compress_window_is_block_bounded(spark, sf_dir, ops):
     spec = _re.search(r"windowspecdefinition\(([^)]*)\)", plan)
     assert spec, plan
     assert "term" in spec.group(1) and "blk" in spec.group(1), spec.group(1)
+
+
+def test_sq8_embeddings_never_shuffle(spark, sf_dir, ops):
+    """SQ8 train + encode must keep raw embeddings out of every
+    non-broadcast Exchange (the ANN-family invariant): the train pass
+    is a DIM-row min/max aggregate folded back broadcast; encode and
+    residual are row-local on the exploded component stream."""
+    df = ops.QUERIES["sq8_encode_stats"](spark, sf_dir)
+    offending = arrays_crossing_exchanges(df)
+    assert not offending, offending
+    assert "BroadcastHashJoin" in plan_of(df)

@@ -1136,3 +1136,89 @@ def test_posting_compress_oracle_matches_python_reference(memberships):
         for b, nb in blocks.items():
             sig ^= b * POSTING_SIG_MIX + nb
         assert int(r["blocks_sig"]) == sig
+
+
+_SQ8_VECS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-2.0,
+            max_value=2.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_SQ8_VECS)
+@settings(max_examples=50, deadline=None)
+def test_sq8_oracle_matches_python_reference(vecs):
+    """DuckDB-vs-Python fuzz for the sq8_encode_stats oracle
+    arithmetic (run at DIM=4 by rewriting the oracle's literal — the
+    formula is dimension-generic): an independent loop implementing
+    train -> encode -> reconstruct -> residual in plain ints must
+    reproduce every per-label aggregate and both signatures."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.similarity import (
+        DIM,
+        PQ_SCALE,
+        SQ8_CODE_MIX,
+        SQ8_LEVELS,
+        SQ8_SIG_MIX,
+        _SQ8_ORACLE,
+    )
+
+    d = 4
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": vecs,
+            "label": [i % 3 for i in range(len(vecs))],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    oracle = _SQ8_ORACLE.replace(f"range(1, {DIM} + 1)", f"range(1, {d} + 1)")
+    got = {
+        int(r["label"]): r for _, r in con.sql(oracle).df().iterrows()
+    }
+
+    q = [[math.floor(float(x) * PQ_SCALE) for x in v] for v in vecs]
+    mn = [min(v[j] for v in q) for j in range(d)]
+    mx = [max(v[j] for v in q) for j in range(d)]
+    per_label = {}
+    for vid, v in enumerate(q):
+        ssr, csig = 0, 0
+        for j in range(d):
+            rng = mx[j] - mn[j]
+            code = 0 if rng == 0 else (v[j] - mn[j]) * SQ8_LEVELS // rng
+            recon = mn[j] + code * rng // SQ8_LEVELS
+            ssr += (v[j] - recon) ** 2
+            csig ^= (j + 1) * SQ8_CODE_MIX + code
+        st_ = per_label.setdefault(vid % 3, [])
+        st_.append((vid, ssr, csig))
+    assert set(got) == set(per_label)
+    for lab, rows in per_label.items():
+        r = got[lab]
+        assert int(r["n_vecs"]) == len(rows)
+        assert int(r["total_ssr"]) == sum(s for _, s, _ in rows)
+        assert int(r["max_ssr"]) == max(s for _, s, _ in rows)
+        assert (
+            abs(r["avg_ssr"] - round(sum(s for _, s, _ in rows) / len(rows), 4))
+            <= 1e-4
+        )
+        vsig = csig_x = 0
+        for vid, s, c in rows:
+            vsig ^= vid * SQ8_SIG_MIX + s
+            csig_x ^= vid * SQ8_SIG_MIX + c
+        assert int(r["vec_sig"]) == vsig
+        assert int(r["code_sig"]) == csig_x
