@@ -59,6 +59,7 @@ PRIORITY_HEAD = [
     "neardup_containment",
     "posting_compress_stats",
     "sq8_encode_stats",
+    "best_passage_snippets",
     "ann_pq_topk",
     "pq_encode_stats",
     "dsir_importance_stats",

@@ -649,8 +649,7 @@ _BM25_TERMS_SQL = ", ".join(
 # reproducible across Java/libm/DuckDB, and the log-free ratio is the
 # same monotone per-term ordering (the log only dampens how terms sum;
 # documented as the deterministic-ranking variant).
-_BM25_ORACLE = f"""
-    WITH d AS (
+_BM25_CTES = f"""d AS (
       SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents
     ), dl AS (
       SELECT doc_id, len(s)::BIGINT AS dl FROM d
@@ -681,12 +680,16 @@ _BM25_ORACLE = f"""
              sum(contrib)::BIGINT AS score_milli,
              count(*)::BIGINT AS n_hit_terms
       FROM scored GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id, score_milli, n_hit_terms, rk FROM (
+    ), ranked AS (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY score_milli DESC, doc_id
       )::BIGINT AS rk FROM agg
-    ) WHERE rk <= {BM25_K}
+    )"""
+
+_BM25_ORACLE = f"""
+    WITH {_BM25_CTES}
+    SELECT query_id, doc_id, score_milli, n_hit_terms, rk
+    FROM ranked WHERE rk <= {BM25_K}
     """
 
 
@@ -919,4 +922,150 @@ def posting_compress_stats(spark, sf_dir):
         )
         .orderBy(F.desc("df"), F.desc("varint_bytes"), F.asc("term"))
         .limit(IDX_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# best_passage_snippets
+# --------------------------------------------------------------------------
+
+SNIPPET_W = 16  # window width in tokens
+SNIPPET_TOP_DOCS = 3  # snippets for the top docs per query
+
+_SNIPPET_ORACLE = f"""
+    WITH {_BM25_CTES},
+    top_docs AS (
+      SELECT query_id, doc_id, rk FROM ranked
+      WHERE rk <= {SNIPPET_TOP_DOCS}
+    ), pos AS (
+      SELECT td.query_id, td.doc_id, td.rk, t.i - 1 AS p
+      FROM top_docs td
+      JOIN d USING (doc_id)
+      CROSS JOIN unnest(range(1, len(d.s) + 1)) AS t(i)
+      JOIN qmap q ON q.query_id = td.query_id AND d.s[t.i] = q.term
+    ), wins AS (
+      SELECT a.query_id, a.doc_id, a.rk, a.p AS win_start,
+             count(*)::BIGINT AS win_hits
+      FROM pos a JOIN pos b
+        ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+       AND b.p >= a.p AND b.p < a.p + {SNIPPET_W}
+      GROUP BY a.query_id, a.doc_id, a.rk, a.p
+    ), best AS (
+      SELECT query_id, doc_id, rk, win_start, win_hits,
+             row_number() OVER (
+               PARTITION BY query_id, doc_id
+               ORDER BY win_hits DESC, win_start ASC
+             ) AS brn
+      FROM wins
+    )
+    SELECT b.query_id, b.doc_id, b.rk, b.win_start, b.win_hits,
+           len(d.s[b.win_start + 1 : b.win_start + {SNIPPET_W}])::BIGINT
+             AS snippet_words,
+           md5(array_to_string(
+             d.s[b.win_start + 1 : b.win_start + {SNIPPET_W}], ' '
+           )) AS snippet_md5
+    FROM best b JOIN d USING (doc_id)
+    WHERE brn = 1
+    """
+
+
+@register("best_passage_snippets", oracle=_SNIPPET_ORACLE)
+def best_passage_snippets(spark, sf_dir):
+    """Best-passage snippet extraction — the result-presentation leg
+    completing the search stack (inverted_index_stats builds,
+    bm25_topk ranks, this op renders): for each fixed query's top-
+    {SNIPPET_TOP_DOCS} BM25 documents, find the {SNIPPET_W}-token
+    window containing the most query-term occurrences (candidate
+    window starts = query-term hit positions, the classic fixed-width
+    observation that an optimal window can always start AT a hit;
+    tie-break earliest start) and pin the exact passage with an md5
+    of the window's tokens. Integer window arithmetic; the ranking it
+    consumes is bm25_topk's exact milli-fixed-point order, so the
+    whole stack is deterministic end to end.
+
+    Scale shape: ranking reuses the bm25_topk plan (single corpus
+    scan, map-side vocab filter, two-phase top-k); the snippet stage
+    touches ONLY the |Q| x {SNIPPET_TOP_DOCS} winning documents — the
+    hit-position table is built from a semi-joined re-scan of just
+    those docs (a result-page render, not a corpus pass), the
+    window-count self-join is O(tf^2) per winner, and the passage
+    hash slices the already-split token array. At serving scale this
+    is per-result-page work; expressing it relationally keeps it on
+    the cluster for bulk evaluation (judging snippet quality over a
+    whole query log)."""
+    top = (
+        bm25_topk(spark, sf_dir)
+        .filter(F.col("rk") <= SNIPPET_TOP_DOCS)
+        .select("query_id", "doc_id", "rk")
+    )
+    qmap = spark.createDataFrame(
+        [(int(qid), t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id long, term string",
+    )
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("s")
+    )
+    # winners only: |Q| x TOP_DOCS rows — broadcast onto the doc scan
+    winner_docs = docs.join(
+        F.broadcast(top.select("doc_id").distinct()), "doc_id"
+    )
+    pos = (
+        winner_docs.select(
+            "doc_id", F.posexplode("s").alias("p", "term")
+        )
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(top), ["query_id", "doc_id"])
+        .select("query_id", "doc_id", "rk", "p")
+    )
+    a = pos.alias("a")
+    b = pos.alias("b")
+    wins = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") >= F.col("a.p"))
+            & (F.col("b.p") < F.col("a.p") + SNIPPET_W),
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.rk").alias("rk"),
+            F.col("a.p").alias("win_start"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("win_hits"))
+    )
+    # argmax window per (query, doc): max_by over the integer-packed
+    # (hits, -start) key — an aggregate with a map-side partial, not
+    # a window (the cite_insertion idiom)
+    best = wins.groupBy("query_id", "doc_id", "rk").agg(
+        F.expr(
+            f"max_by(named_struct('ws', win_start, 'wh', win_hits),"
+            f" win_hits * 1000000 - win_start)"
+        ).alias("bw")
+    ).select(
+        "query_id",
+        "doc_id",
+        "rk",
+        F.col("bw.ws").alias("win_start"),
+        F.col("bw.wh").alias("win_hits"),
+    )
+    sliced = best.join(winner_docs, "doc_id").select(
+        "query_id",
+        "doc_id",
+        "rk",
+        "win_start",
+        "win_hits",
+        F.slice(
+            F.col("s"), F.col("win_start") + 1, SNIPPET_W
+        ).alias("win"),
+    )
+    return sliced.select(
+        "query_id",
+        "doc_id",
+        "rk",
+        "win_start",
+        "win_hits",
+        F.size("win").cast("bigint").alias("snippet_words"),
+        F.md5(F.concat_ws(" ", F.col("win"))).alias("snippet_md5"),
     )

@@ -1104,3 +1104,16 @@ def test_sq8_embeddings_never_shuffle(spark, sf_dir, ops):
     offending = arrays_crossing_exchanges(df)
     assert not offending, offending
     assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_snippet_stage_is_winner_bounded(spark, sf_dir, ops):
+    """Snippet extraction must confine its work to the winning docs:
+    the re-scan joins a BROADCAST of the |Q| x top-k winner ids, the
+    per-(query, doc) argmax window is a max_by aggregate with a
+    map-side partial (the cite_insertion idiom), and no Spark-side
+    Window appears anywhere in the stack."""
+    df = ops.QUERIES["best_passage_snippets"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+    assert "BroadcastHashJoin" in plan
