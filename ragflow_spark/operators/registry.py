@@ -60,6 +60,7 @@ PRIORITY_HEAD = [
     "posting_compress_stats",
     "sq8_encode_stats",
     "best_passage_snippets",
+    "maxscore_prune_audit",
     "ann_pq_topk",
     "pq_encode_stats",
     "dsir_importance_stats",

@@ -664,7 +664,7 @@ _BM25_CTES = f"""d AS (
     ), dfreq AS (
       SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
     ), scored AS (
-      SELECT q.query_id::BIGINT AS query_id, t.doc_id,
+      SELECT q.query_id::BIGINT AS query_id, t.doc_id, t.term,
              (
                (((2*g.n_docs - 2*f.df + 1) * 1000) // (2*f.df + 1))
                * ((22000 * t.tf * 1000) //
@@ -693,6 +693,55 @@ _BM25_ORACLE = f"""
     """
 
 
+def _bm25_contribs(spark, sf_dir):
+    """Shared BM25 scoring chain: per (query_id, doc_id, term) exact
+    milli-fixed-point contribution rows (the oracle-side twin is the
+    shared _BM25_CTES `scored` stage). One corpus scan: the bounded
+    posting table is localCheckpointed so the df branch reuses it
+    (dedup_components precedent; on a cluster this is the
+    reliable-checkpoint / cached-index boundary); corpus stats, df,
+    and the query map fold back broadcast."""
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    dl = docs.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl"), "toks"
+    )
+    g = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("l_tot"),
+    )
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    tok = dl.select(
+        "doc_id", "dl", F.explode("toks").alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    tf = tf.localCheckpoint()
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    qmap = spark.createDataFrame(
+        [(int(qid), t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id long, term string",
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qmap), "term")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "contrib",
+            F.expr(
+                "((((2*n_docs - 2*df + 1) * 1000) div (2*df + 1))"
+                " * ((22000 * tf * 1000) div"
+                "    (10000*tf + 3000 + 9*((dl * n_docs * 1000) div l_tot)))"
+                ") div 1000"
+            ),
+        )
+    )
+
+
 @register("bm25_topk", oracle=_BM25_ORACLE)
 def bm25_topk(spark, sf_dir):
     """BM25 ranked retrieval over the corpus for a fixed query
@@ -714,50 +763,7 @@ def bm25_topk(spark, sf_dir):
     k rows per partition per query reach the merge) instead of a
     row_number window that would funnel every candidate into |Q|
     partitions."""
-    docs = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
-    )
-    dl = docs.select(
-        "doc_id", F.size("toks").cast("bigint").alias("dl"), "toks"
-    )
-    g = dl.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").alias("l_tot"),
-    )
-    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-    tok = dl.select(
-        "doc_id", "dl", F.explode("toks").alias("term")
-    ).where(F.col("term").isin(terms))
-    tf = tok.groupBy("doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    # materialize the bounded posting table (<= |docs| x |terms| rows)
-    # once: df derives from the SAME branch, so without this the whole
-    # tokenize+filter subtree — i.e. the full corpus scan — executes
-    # twice (dedup_components localCheckpoint precedent; on a cluster
-    # this is the reliable-checkpoint / cached-index boundary)
-    tf = tf.localCheckpoint()
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    qmap = spark.createDataFrame(
-        [(int(qid), t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
-        "query_id long, term string",
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qmap), "term")
-        .crossJoin(F.broadcast(g))
-        .withColumn(
-            "contrib",
-            F.expr(
-                "((((2*n_docs - 2*df + 1) * 1000) div (2*df + 1))"
-                " * ((22000 * tf * 1000) div"
-                "    (10000*tf + 3000 + 9*((dl * n_docs * 1000) div l_tot)))"
-                ") div 1000"
-            ),
-        )
-    )
+    scored = _bm25_contribs(spark, sf_dir)
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.sum("contrib").cast("bigint").alias("score_milli"),
         F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
@@ -1068,4 +1074,102 @@ def best_passage_snippets(spark, sf_dir):
         "win_hits",
         F.size("win").cast("bigint").alias("snippet_words"),
         F.md5(F.concat_ws(" ", F.col("win"))).alias("snippet_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# maxscore_prune_audit
+# --------------------------------------------------------------------------
+
+_MAXSCORE_ORACLE = f"""
+    WITH {_BM25_CTES},
+    tmax AS (
+      SELECT query_id, term,
+             max(contrib)::BIGINT AS max_contrib,
+             count(*)::BIGINT AS n_postings
+      FROM scored GROUP BY query_id, term
+    ), theta AS (
+      SELECT query_id, min(score_milli)::BIGINT AS theta
+      FROM ranked WHERE rk <= {BM25_K} GROUP BY query_id
+    ), cum AS (
+      SELECT a.query_id, a.term, a.max_contrib, a.n_postings,
+             sum(b.max_contrib)::BIGINT AS cum_max
+      FROM tmax a JOIN tmax b
+        ON a.query_id = b.query_id
+       AND (b.max_contrib < a.max_contrib
+            OR (b.max_contrib = a.max_contrib AND b.term <= a.term))
+      GROUP BY a.query_id, a.term, a.max_contrib, a.n_postings
+    )
+    SELECT c.query_id, c.term, c.max_contrib, c.n_postings, c.cum_max,
+           (c.cum_max >= t.theta) AS essential, t.theta
+    FROM cum c JOIN theta t USING (query_id)
+    """
+
+
+@register("maxscore_prune_audit", oracle=_MAXSCORE_ORACLE)
+def maxscore_prune_audit(spark, sf_dir):
+    """MaxScore pruning audit (Turtle & Flood 1995; the WAND family's
+    static half) — the query-evaluation optimization every web-scale
+    engine ships: given the top-{BM25_K} threshold theta (the k-th
+    ranked score), a term is NON-ESSENTIAL when the cumulative sum of
+    per-term score UPPER BOUNDS up to it (terms ordered by bound
+    ascending, term tie-break) stays below theta — documents
+    containing only non-essential terms can never enter the top-k, so
+    their postings need no scoring at all. Output: per (query, term),
+    the exact integer upper bound (max contribution over the corpus),
+    posting count, the ascending-prefix cumulative bound, the
+    essential verdict, and theta — i.e. exactly how many postings a
+    MaxScore traversal of these queries may skip.
+
+    Deterministic end to end: bounds, theta, and the prefix sums are
+    the bm25 chain's exact milli-fixed-point integers (shared
+    _bm25_contribs / _BM25_CTES), so the essential/skippable verdict
+    can never straddle a float boundary.
+
+    Scale shape: tmax is a map-side-combinable aggregate over the
+    contrib rows (the single-scan bm25 chain); theta reuses the
+    two-phase top-k; the prefix-sum self-join runs on |Q| x |terms
+    per query| rows (<= 7 here, bounded by query length in general) —
+    at serving scale these bounds live in the index metadata, which
+    is exactly what this job precomputes."""
+    scored = _bm25_contribs(spark, sf_dir)
+    tmax = scored.groupBy("query_id", "term").agg(
+        F.max("contrib").cast("bigint").alias("max_contrib"),
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+    )
+    theta = (
+        bm25_topk(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(F.min("score_milli").cast("bigint").alias("theta"))
+    )
+    a = tmax.alias("a")
+    b = tmax.alias("b")
+    cum = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (
+                (F.col("b.max_contrib") < F.col("a.max_contrib"))
+                | (
+                    (F.col("b.max_contrib") == F.col("a.max_contrib"))
+                    & (F.col("b.term") <= F.col("a.term"))
+                )
+            ),
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.term").alias("term"),
+            F.col("a.max_contrib").alias("max_contrib"),
+            F.col("a.n_postings").alias("n_postings"),
+        )
+        .agg(F.sum(F.col("b.max_contrib")).cast("bigint").alias("cum_max"))
+    )
+    return cum.join(F.broadcast(theta), "query_id").select(
+        "query_id",
+        "term",
+        "max_contrib",
+        "n_postings",
+        "cum_max",
+        (F.col("cum_max") >= F.col("theta")).alias("essential"),
+        "theta",
     )

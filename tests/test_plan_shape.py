@@ -1117,3 +1117,14 @@ def test_snippet_stage_is_winner_bounded(spark, sf_dir, ops):
     assert "Window" not in plan
     assert "partial_max_by" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_maxscore_audit_is_window_free(spark, sf_dir, ops):
+    """The MaxScore prune audit derives bounds, theta, and prefix
+    sums as aggregates + a bounded self-join — no Spark Window — and
+    theta folds back broadcast."""
+    df = ops.QUERIES["maxscore_prune_audit"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "partial_max" in plan  # tmax map-side combine
+    assert "BroadcastHashJoin" in plan
