@@ -1421,3 +1421,145 @@ def fetch_schedule(spark, sf_dir):
         .alias("first_doc"),
         F.expr("bit_xor(doc_id * (slot + 1))").alias("sched_sig"),
     )
+
+
+# --------------------------------------------------------------------------
+# host_boilerplate_stats
+# --------------------------------------------------------------------------
+
+# a span is host-boilerplate when it appears in >= NUM/DEN of the
+# host's documents (integer cross-multiply — no float at the cut)
+BOILER_NUM, BOILER_DEN = 1, 4
+
+
+@register(
+    "host_boilerplate_stats",
+    oracle=f"""
+    WITH enriched AS (
+      -- deterministic enrichment (the decontaminate_stats pattern):
+      -- the synthetic corpus has no real site chrome, so 2/3 of each
+      -- host's docs get a 3-word host banner PREPENDED (exactly one
+      -- segment; the original segmentation shifts intact)
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 <> 0
+                  THEN 'nav ' || source || ' footer ' || text
+                  ELSE text END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM enriched
+    ), seg0 AS (
+      SELECT doc_id, source, ws,
+             unnest(range((len(ws) + {SEG_WORDS - 1}) // {SEG_WORDS})) AS pos
+      FROM base
+    ), seg AS (
+      SELECT doc_id, source,
+             array_to_string(
+               ws[pos * {SEG_WORDS} + 1 : pos * {SEG_WORDS} + {SEG_WORDS}],
+               ' ') AS seg
+      FROM seg0
+    ), occ AS (
+      SELECT source, md5(seg) AS h,
+             count(*)::BIGINT AS occ,
+             count(DISTINCT doc_id)::BIGINT AS present
+      FROM seg GROUP BY source, md5(seg)
+    ), hd AS (
+      SELECT source, count(*)::BIGINT AS host_docs FROM base GROUP BY source
+    )
+    SELECT source,
+           any_value(host_docs)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN present * {BOILER_DEN} >= host_docs * {BOILER_NUM}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+           round(sum(CASE WHEN present * {BOILER_DEN}
+                               >= host_docs * {BOILER_NUM}
+                          THEN occ ELSE 0 END) * 1.0 / sum(occ), 4)
+             AS boiler_occ_share,
+           bit_xor(CASE WHEN present * {BOILER_DEN} >= host_docs * {BOILER_NUM}
+                        THEN ('0x' || substring(h, 1, 15))::BIGINT
+                        ELSE 0 END)::BIGINT AS boiler_sig
+    FROM occ JOIN hd USING (source)
+    GROUP BY source
+    """,
+)
+def host_boilerplate_stats(spark, sf_dir):
+    """Host-level frequent-span boilerplate detection — the CCNet /
+    RefinedWeb corpus-side filter ("discard lines repeated across a
+    site") that complements the per-page tag/text-density heuristics
+    the extraction kernel runs: a {SEG_WORDS}-word span (the
+    segment_dedup segmentation, shared constant) is BOILERPLATE on a
+    host when it appears in at least {BOILER_NUM}/{BOILER_DEN} of
+    that host's documents — nav bars, cookie banners, and footers hit
+    this on every real site while body text never does. Output per
+    host: doc/span counts, how many spans are boilerplate, the share
+    of all span OCCURRENCES they account for (what a removal pass
+    would delete), and a bit_xor signature over the boilerplate span
+    digests that pins the exact detected set. The synthetic corpus
+    carries no real site chrome, so the operator plants it: 2/3 of
+    each host's docs get a deterministic 3-word host banner prepended
+    (the decontaminate_stats enrichment pattern), giving the detector
+    true positives to find on both engines.
+
+    Scale shape: the span count shuffles (source, 16-byte digest)
+    rows ONLY with map-side partial count + distinct — span text
+    never crosses an Exchange (the segment_dedup rule); the per-host
+    doc count folds back broadcast; the threshold is an integer
+    cross-multiply so no float sits at the detect boundary. At crawl
+    scale this is per-host work with no cross-host traffic at all —
+    the partitioning key IS the host."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit("nav "), F.col("source"), F.lit(" footer "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    words = F.split(F.col("text"), " ")
+    n_seg = F.floor(
+        (F.size(words) + F.lit(SEG_WORDS - 1)) / SEG_WORDS
+    ).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * SEG_WORDS + 1, SEG_WORDS), " "
+        ),
+    )
+    ex = d.select(
+        "doc_id", "source", F.explode(segs).alias("seg")
+    ).withColumn("h", F.md5("seg"))
+    occ = ex.groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ"),
+        F.countDistinct("doc_id").cast("bigint").alias("present"),
+    )
+    hd = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("host_docs")
+    )
+    boiler = (
+        F.col("present") * F.lit(BOILER_DEN)
+        >= F.col("host_docs") * F.lit(BOILER_NUM)
+    )
+    sigv = F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+    flagged = occ.join(F.broadcast(hd), "source").select(
+        "source",
+        "host_docs",
+        "occ",
+        boiler.alias("boiler"),
+        F.when(boiler, sigv).otherwise(F.lit(0)).alias("sigv"),
+    )
+    return flagged.groupBy("source").agg(
+        F.first("host_docs").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("boiler").cast("long")).cast("bigint").alias("n_boiler"),
+        F.round(
+            F.sum(F.when(F.col("boiler"), F.col("occ")).otherwise(0))
+            * F.lit(1.0)
+            / F.sum("occ"),
+            4,
+        ).alias("boiler_occ_share"),
+        F.expr("bit_xor(sigv)").alias("boiler_sig"),
+    )

@@ -62,6 +62,7 @@ PRIORITY_HEAD = [
     "sq8_encode_stats",
     "best_passage_snippets",
     "maxscore_prune_audit",
+    "host_boilerplate_stats",
     "ann_pq_topk",
     "pq_encode_stats",
     "dsir_importance_stats",

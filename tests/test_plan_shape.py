@@ -1128,3 +1128,27 @@ def test_maxscore_audit_is_window_free(spark, sf_dir, ops):
     assert "Window" not in plan
     assert "partial_max" in plan  # tmax map-side combine
     assert "BroadcastHashJoin" in plan
+
+
+def test_host_boilerplate_shuffles_digests_only(spark, sf_dir, ops):
+    """The span-frequency count must shuffle (source, md5 digest)
+    rows only — span text never crosses an Exchange (the segment_dedup
+    rule) — and the per-host doc count folds back broadcast."""
+    df = ops.QUERIES["host_boilerplate_stats"](spark, sf_dir)
+    plan_root = df._jdf.queryExecution().executedPlan()
+    offending = []
+
+    def walk(node):
+        name = node.nodeName()
+        if "Exchange" in name:
+            out = node.output()
+            for i in range(out.length()):
+                if out.apply(i).name() == "seg":
+                    offending.append(name)
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(plan_root)
+    assert not offending, offending
+    assert "BroadcastHashJoin" in plan_of(df)
