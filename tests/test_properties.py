@@ -1222,3 +1222,214 @@ def test_sq8_oracle_matches_python_reference(vecs):
             csig_x ^= vid * SQ8_SIG_MIX + c
         assert int(r["vec_sig"]) == vsig
         assert int(r["code_sig"]) == csig_x
+
+
+_CONTAIN_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=0,
+        max_size=20,
+    ).map(" ".join),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_CONTAIN_DOCS)
+@settings(max_examples=40, deadline=None)
+def test_containment_oracle_matches_python_reference(texts):
+    """DuckDB-vs-Python fuzz for the neardup_containment oracle: an
+    independent loop implements the whole chain — shingling, md5
+    anchor sampling, the stop-shingle df window, the sampled pre-gate,
+    and the exact containment/jaccard cross-multiply cut — so any
+    drift in the SQL's sampling predicate, gate placement, or
+    small/big ordering fails here."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.dedup import (
+        CONTAIN_ANCHOR_HEX,
+        CONTAIN_GATE_DEN,
+        CONTAIN_MAX_DF,
+        CONTAIN_MIN_DEN,
+        CONTAIN_MIN_NUM,
+    )
+    from ragflow_spark.operators.registry import ORACLES
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = sorted(
+        (int(r[0]), int(r[1]), int(r[2]), int(r[3]), float(r[4]), float(r[5]))
+        for r in con.sql(ORACLES["neardup_containment"]).df()[
+            [
+                "doc_small",
+                "doc_big",
+                "n_sh_small",
+                "n_sh_big",
+                "containment",
+                "jaccard",
+            ]
+        ].itertuples(index=False, name=None)
+    )
+
+    def shingles(t):
+        w = t.lower().split(" ")
+        return list(
+            dict.fromkeys(
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            )
+        ) if len(w) >= 3 else None
+
+    sh = {i: s for i, s in ((i, shingles(t)) for i, t in enumerate(texts)) if s is not None}
+    anchors = {
+        i: {
+            s
+            for s in ss
+            if hashlib.md5(s.encode()).hexdigest()[0] in CONTAIN_ANCHOR_HEX
+        }
+        for i, ss in sh.items()
+    }
+    df_count = {}
+    for ss in anchors.values():
+        for s in ss:
+            df_count[s] = df_count.get(s, 0) + 1
+    live = {s for s, c in df_count.items() if 2 <= c <= CONTAIN_MAX_DF}
+    want = []
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = len(anchors[a] & anchors[b] & live)
+            if shared == 0:
+                continue
+            if shared * CONTAIN_GATE_DEN < min(len(anchors[a]), len(anchors[b])):
+                continue
+            sa, sb = len(sh[a]), len(sh[b])
+            inter = len(set(sh[a]) & set(sh[b]))
+            small = max(min(sa, sb), 1)
+            if inter * CONTAIN_MIN_DEN < small * CONTAIN_MIN_NUM:
+                continue
+            ds, db_ = (a, b) if sa <= sb else (b, a)
+            want.append(
+                (
+                    ds,
+                    db_,
+                    min(sa, sb),
+                    max(sa, sb),
+                    round(inter / small, 4),
+                    round(inter / max(sa + sb - inter, 1), 4),
+                )
+            )
+    assert got == sorted(want)
+
+
+@given(_BM25_DOCS)
+@settings(max_examples=30, deadline=None)
+def test_snippet_oracle_matches_python_reference(texts):
+    """DuckDB-vs-Python fuzz for best_passage_snippets: an independent
+    loop re-derives the bm25 milli ranking (the already-fuzzed spec),
+    takes the top-3 docs per query, scans hit-anchored 16-token
+    windows, and reproduces every (win_start, win_hits, snippet md5)
+    — catching drift in the window bounds, the earliest-start
+    tie-break, or the slice/limit semantics at doc edges."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.registry import ORACLES
+    from ragflow_spark.operators.textops import (
+        BM25_K,
+        BM25_QUERIES,
+        SNIPPET_TOP_DOCS,
+        SNIPPET_W,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = sorted(
+        (int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]), int(r[5]), r[6])
+        for r in con.sql(ORACLES["best_passage_snippets"]).df()[
+            [
+                "query_id",
+                "doc_id",
+                "rk",
+                "win_start",
+                "win_hits",
+                "snippet_words",
+                "snippet_md5",
+            ]
+        ].itertuples(index=False, name=None)
+    )
+
+    # bm25 reference (same spec as test_bm25_oracle_matches_python_reference)
+    toks = [t.split(" ") for t in texts]
+    n_docs, dls = len(toks), [len(ts) for ts in toks]
+    l_tot = sum(dls)
+    terms = {t for ts in BM25_QUERIES.values() for t in ts}
+    tf, df = {}, {}
+    for did, ts in enumerate(toks):
+        for t in ts:
+            if t in terms:
+                tf[(did, t)] = tf.get((did, t), 0) + 1
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    want = []
+    for qid, qterms in BM25_QUERIES.items():
+        scores = {}
+        for t in qterms:
+            for did in range(n_docs):
+                f = tf.get((did, t))
+                if not f:
+                    continue
+                dlr = dls[did] * n_docs * 1000 // l_tot
+                tfp = (22000 * f * 1000) // (10000 * f + 3000 + 9 * dlr)
+                idf = ((2 * n_docs - 2 * df[t] + 1) * 1000) // (2 * df[t] + 1)
+                scores[did] = scores.get(did, 0) + idf * tfp // 1000
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_K]
+        for rk, (did, _) in enumerate(ranked[:SNIPPET_TOP_DOCS], start=1):
+            w = toks[did]
+            hits = [
+                p
+                for p, word in enumerate(w)
+                if any(word == t for t in qterms)
+            ]
+            best = None
+            for p in hits:
+                h = sum(1 for q in hits if p <= q < p + SNIPPET_W)
+                if best is None or h > best[1]:
+                    best = (p, h)
+            assert best is not None  # ranked docs contain >=1 term
+            snip = w[best[0] : best[0] + SNIPPET_W]
+            want.append(
+                (
+                    qid,
+                    did,
+                    rk,
+                    best[0],
+                    best[1],
+                    len(snip),
+                    hashlib.md5(" ".join(snip).encode()).hexdigest(),
+                )
+            )
+    assert got == sorted(want)
