@@ -1563,3 +1563,51 @@ def host_boilerplate_stats(spark, sf_dir):
         ).alias("boiler_occ_share"),
         F.expr("bit_xor(sigv)").alias("boiler_sig"),
     )
+
+
+def host_boilerplate_table(docs) -> dict[str, frozenset[str]]:
+    """Frozen (source -> boilerplate span digests) table from a
+    committed-corpus pass — the static side the streaming scrub gate
+    (streaming/boiler_gate.py) applies to new crawl batches, the way
+    dsir_lambda_table / the classifier weights freeze their batch
+    models. Same detection rule as host_boilerplate_stats (span in
+    >= BOILER_NUM/BOILER_DEN of the host's docs, integer
+    cross-multiply). The collect is bounded BY DEFINITION: a span
+    must repeat across >= 1/BOILER_DEN of a host's pages to qualify,
+    so a host contributes at most BOILER_DEN * (spans per page)
+    digests regardless of corpus size (site chrome, not body text);
+    a loud cap enforces that assumption."""
+    words = F.split(F.col("text"), " ")
+    n_seg = F.floor(
+        (F.size(words) + F.lit(SEG_WORDS - 1)) / SEG_WORDS
+    ).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * SEG_WORDS + 1, SEG_WORDS), " "
+        ),
+    )
+    ex = docs.select(
+        "doc_id", "source", F.explode(segs).alias("seg")
+    ).withColumn("h", F.md5("seg"))
+    occ = ex.groupBy("source", "h").agg(
+        F.countDistinct("doc_id").alias("present")
+    )
+    hd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("host_docs"))
+    rows = (
+        occ.join(F.broadcast(hd), "source")
+        .filter(
+            F.col("present") * F.lit(BOILER_DEN)
+            >= F.col("host_docs") * F.lit(BOILER_NUM)
+        )
+        .select("source", "h")
+        .collect()
+    )
+    assert len(rows) < 100_000, (
+        f"boilerplate table unexpectedly large ({len(rows)}): the "
+        "frequent-span definition should bound it at site-chrome size"
+    )
+    table_: dict[str, set] = {}
+    for r in rows:
+        table_.setdefault(r.source, set()).add(r.h)
+    return {s: frozenset(hs) for s, hs in table_.items()}

@@ -525,3 +525,67 @@ def test_dsir_gate_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert 0 < len(got) < docs.count(), "gate must be non-trivial"
+
+
+def test_boilerplate_scrub_stream_matches_reference(spark, sf_dir, tmp_path):
+    """Streaming boilerplate scrub == an independent per-doc Python
+    scrub under the same frozen table (shared scrub_boilerplate
+    definition; the reference here re-derives spans with its own
+    loop), every planted banner is removed, and body text survives."""
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.operators.corpus import host_boilerplate_table
+    from ragflow_spark.streaming.boiler_gate import (
+        boilerplate_scrub_stream,
+        scrub_boilerplate,
+    )
+    from ragflow_spark.streaming.clean_gate import documents_stream
+    from ragflow_spark.streaming.windows import run_to_memory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        # the host_boilerplate_stats enrichment: plant a banner in 2/3
+        # of each host's docs so the table is non-trivial
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit("nav "), F.col("source"), F.lit(" footer "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    table = host_boilerplate_table(docs)
+    assert table and all(len(v) >= 1 for v in table.values())
+
+    src = tmp_path / "docs_in"
+    docs.write.mode("overwrite").parquet(str(src))
+    out = run_to_memory(
+        boilerplate_scrub_stream(
+            documents_stream(spark, str(src)).select(
+                "doc_id", "source", "text"
+            ),
+            table,
+        ),
+        "boiler_gate",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: (r.text, r.boiler_removed)
+        for r in out.collect()
+    }
+    rows = docs.collect()
+    assert len(got) == len(rows)
+    empty = frozenset()
+    n_banner_docs = 0
+    for r in rows:
+        want = scrub_boilerplate(r.text, table.get(r.source, empty))
+        assert got[r.doc_id] == want, r.doc_id
+        if r.doc_id % 3 != 0:
+            n_banner_docs += 1
+            assert got[r.doc_id][1] >= 1  # the banner came out
+            assert f"nav {r.source} footer" not in got[r.doc_id][0]
+    assert n_banner_docs > 0
