@@ -63,6 +63,7 @@ PRIORITY_HEAD = [
     "best_passage_snippets",
     "maxscore_prune_audit",
     "host_boilerplate_stats",
+    "epoch_shuffle_plan",
     "ann_pq_topk",
     "pq_encode_stats",
     "dsir_importance_stats",

@@ -2197,3 +2197,101 @@ def zorder_layout_plan(spark, sf_dir):
         ).alias("avg_bins_per_slot"),
         F.expr(f"bit_xor(bin * {ZORDER_SIG_MIX} + z)").alias("layout_sig"),
     )
+
+
+# --------------------------------------------------------------------------
+# epoch_shuffle_plan
+# --------------------------------------------------------------------------
+
+SHUF_EPOCHS = 2
+SHUF_SHARDS = 8
+SHUF_SEED = "s5"
+SHUF_SIG_MIX = 1_000_003
+
+_SHUF_ORACLE = f"""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id, d.source,
+             md5('{SHUF_SEED}' || ':' || e.epoch || ':' || d.doc_id) AS k
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({SHUF_EPOCHS})) AS epoch) e
+    ), sharded AS (
+      SELECT epoch, doc_id, source, k,
+             ('0x' || substring(k, 1, 8))::BIGINT % {SHUF_SHARDS} AS shard
+      FROM keyed
+    ), ranked AS (
+      SELECT epoch, shard, doc_id, source,
+             row_number() OVER (
+               PARTITION BY epoch, shard ORDER BY k, doc_id
+             ) AS rnk
+      FROM sharded
+    )
+    SELECT epoch::BIGINT AS epoch, shard::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           min(CASE WHEN rnk = 1 THEN doc_id END)::BIGINT AS head_doc,
+           bit_xor(rnk * {SHUF_SIG_MIX} + doc_id)::BIGINT AS order_sig
+    FROM ranked GROUP BY epoch, shard
+    """
+
+
+@register("epoch_shuffle_plan", oracle=_SHUF_ORACLE)
+def epoch_shuffle_plan(spark, sf_dir):
+    """Deterministic per-epoch training-data shuffle — the
+    reproducibility contract every large training run needs (restart
+    epoch 2 on a new cluster and read the SAME order): each (epoch,
+    doc) gets a seeded md5 key, the key's head routes the doc to one
+    of {SHUF_SHARDS} shards, and the shard's read order is the key
+    order — a pure function of (seed, epoch, doc_id), no RNG state,
+    so any worker can recompute its shard's order independently. The
+    audit pins it: per (epoch, shard), doc count, source mix, the
+    head document, and a bit_xor over (rank, doc_id) pairs that a
+    single transposition anywhere would flip.
+
+    Scale shape: keying and shard routing are row-local; the
+    rank-within-shard window partitions by (epoch, shard), and in
+    production the shard count scales with the corpus (a shard = one
+    output file at the target file size), so each window partition is
+    bounded by file size — the same block-bounded-window argument as
+    posting_compress_stats; the rollup is one bounded Exchange of
+    (epoch, shard) groups. Epochs differ by reseeding, not
+    rematerializing: the plan proves epoch orders are decorrelated
+    (different head_doc / order_sig per epoch) without storing
+    anything."""
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(SHUF_EPOCHS)])
+    ).alias("epoch")
+    keyed = d.select("doc_id", "source", epochs).withColumn(
+        "k",
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(SHUF_SEED), F.col("epoch"), F.col("doc_id")
+            )
+        ),
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        (
+            F.conv(F.substring("k", 1, 8), 16, 10).cast("long")
+            % SHUF_SHARDS
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    ranked = sharded.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("shard").cast("bigint").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min(F.when(F.col("rnk") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("head_doc"),
+        F.expr(f"bit_xor(rnk * {SHUF_SIG_MIX} + doc_id)").alias(
+            "order_sig"
+        ),
+    )

@@ -1152,3 +1152,18 @@ def test_host_boilerplate_shuffles_digests_only(spark, sf_dir, ops):
     walk(plan_root)
     assert not offending, offending
     assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_epoch_shuffle_window_is_shard_bounded(spark, sf_dir, ops):
+    """The rank-within-shard window must partition by (epoch, shard),
+    never epoch alone — in production the shard count scales with the
+    corpus (a shard = one target-size output file), so each window
+    partition stays file-bounded (the posting_compress block-window
+    argument)."""
+    import re as _re
+
+    df = ops.QUERIES["epoch_shuffle_plan"](spark, sf_dir)
+    plan = plan_of(df)
+    spec = _re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert spec, plan
+    assert "epoch" in spec.group(1) and "shard" in spec.group(1), spec.group(1)

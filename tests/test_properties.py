@@ -1433,3 +1433,67 @@ def test_snippet_oracle_matches_python_reference(texts):
                 )
             )
     assert got == sorted(want)
+
+
+_SHUF_IDS = st.lists(
+    st.integers(min_value=0, max_value=100_000),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(_SHUF_IDS)
+@settings(max_examples=40, deadline=None)
+def test_epoch_shuffle_oracle_matches_python_reference(ids):
+    """DuckDB-vs-Python fuzz for the epoch_shuffle_plan oracle: an
+    independent loop re-derives the seeded md5 key, the head-of-key
+    shard route, the (key, doc_id) rank order, and the (rank, doc)
+    signature — any drift in key construction, the hex-prefix shard
+    arithmetic, or rank tie-breaks fails here."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.registry import ORACLES
+    from ragflow_spark.operators.trainprep import (
+        SHUF_EPOCHS,
+        SHUF_SEED,
+        SHUF_SHARDS,
+        SHUF_SIG_MIX,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": "x",
+            "lang": "en",
+            "source": [f"s{d % 3}" for d in ids],
+            "n_chars": 1,
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {
+        (int(r["epoch"]), int(r["shard"])): r
+        for _, r in con.sql(ORACLES["epoch_shuffle_plan"]).df().iterrows()
+    }
+
+    groups = {}
+    for e in range(SHUF_EPOCHS):
+        for d in ids:
+            k = hashlib.md5(f"{SHUF_SEED}:{e}:{d}".encode()).hexdigest()
+            shard = int(k[:8], 16) % SHUF_SHARDS
+            groups.setdefault((e, shard), []).append((k, d))
+    assert set(got) == set(groups)
+    for key, rows in groups.items():
+        rows.sort()
+        r = got[key]
+        assert int(r["n_docs"]) == len(rows)
+        assert int(r["n_sources"]) == len({d % 3 for _, d in rows})
+        assert int(r["head_doc"]) == rows[0][1]
+        sig = 0
+        for rnk, (_, d) in enumerate(rows, start=1):
+            sig ^= rnk * SHUF_SIG_MIX + d
+        assert int(r["order_sig"]) == sig
