@@ -47,14 +47,15 @@ PRIORITY_HEAD = [
     # replica-covered every round — for the same first-exposure
     # reason.
     # Round-5 sixth-wave additions (never driver-checked). With these
-    # eight the head reaches 58, so the LAST eight head entries —
-    # intersect_active_segments / lang_id / multirow_fold /
-    # quality_score / split_explode / switch_predicates / token_count
-    # / top_revenue_orders, all r3-driver-green single-shuffle plans,
-    # all replica-covered every round (driver_sim + the sf0.1 parity
-    # sweep) — fall outside the 50-entry driver window; the same
-    # recorded first-exposure-over-trivial-recheck trade as the
-    # fourth and fifth waves.
+    # nine the head reaches 59, so the LAST nine head entries —
+    # argmax_count / intersect_active_segments / lang_id /
+    # multirow_fold / quality_score / split_explode /
+    # switch_predicates / token_count / top_revenue_orders, all
+    # r3-driver-green single-shuffle plans, all replica-covered every
+    # round (driver_sim + the sf0.1 parity sweep) — fall outside the
+    # 50-entry driver window; the same recorded
+    # first-exposure-over-trivial-recheck trade as the fourth and
+    # fifth waves.
     "bm25_topk",
     "zorder_layout_plan",
     "neardup_containment",
