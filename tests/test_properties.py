@@ -1497,3 +1497,174 @@ def test_epoch_shuffle_oracle_matches_python_reference(ids):
         for rnk, (_, d) in enumerate(rows, start=1):
             sig ^= rnk * SHUF_SIG_MIX + d
         assert int(r["order_sig"]) == sig
+
+
+@given(_BM25_DOCS)
+@settings(max_examples=30, deadline=None)
+def test_maxscore_oracle_matches_python_reference(texts):
+    """DuckDB-vs-Python fuzz for maxscore_prune_audit: the loop
+    reference re-derives per-term contribution upper bounds, theta
+    (min of the top-k scores), and the ascending-(bound, term) prefix
+    sums — catching drift in the essential cut or the tie-broken
+    prefix order."""
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.registry import ORACLES
+    from ragflow_spark.operators.textops import BM25_K, BM25_QUERIES
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = sorted(
+        (int(r[0]), r[1], int(r[2]), int(r[3]), int(r[4]), bool(r[5]), int(r[6]))
+        for r in con.sql(ORACLES["maxscore_prune_audit"]).df()[
+            [
+                "query_id",
+                "term",
+                "max_contrib",
+                "n_postings",
+                "cum_max",
+                "essential",
+                "theta",
+            ]
+        ].itertuples(index=False, name=None)
+    )
+
+    toks = [t.split(" ") for t in texts]
+    n_docs, dls = len(toks), [len(ts) for ts in toks]
+    l_tot = sum(dls)
+    terms = {t for ts in BM25_QUERIES.values() for t in ts}
+    tf, df = {}, {}
+    for did, ts in enumerate(toks):
+        for t in ts:
+            if t in terms:
+                tf[(did, t)] = tf.get((did, t), 0) + 1
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+
+    def contrib(did, t, f):
+        dlr = dls[did] * n_docs * 1000 // l_tot
+        tfp = (22000 * f * 1000) // (10000 * f + 3000 + 9 * dlr)
+        idf = ((2 * n_docs - 2 * df[t] + 1) * 1000) // (2 * df[t] + 1)
+        return idf * tfp // 1000
+
+    want = []
+    for qid, qterms in BM25_QUERIES.items():
+        percell = {}
+        scores = {}
+        for t in qterms:
+            for did in range(n_docs):
+                f = tf.get((did, t))
+                if not f:
+                    continue
+                c = contrib(did, t, f)
+                percell.setdefault(t, []).append(c)
+                scores[did] = scores.get(did, 0) + c
+        if not percell:
+            continue
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_K]
+        theta = min(s for _, s in top)
+        tmax = sorted(
+            (max(cs), t, len(cs)) for t, cs in percell.items()
+        )
+        cum = 0
+        for mx, t, np_ in tmax:
+            cum += mx
+            want.append((qid, t, mx, np_, cum, cum >= theta, theta))
+    assert got == sorted(want)
+
+
+_BOILER_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["h0", "h1"]),  # source/host
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_BOILER_DOCS)
+@settings(max_examples=40, deadline=None)
+def test_host_boilerplate_oracle_matches_python_reference(rows):
+    """DuckDB-vs-Python fuzz for host_boilerplate_stats: the loop
+    reference replays the banner enrichment, the 3-word segmentation,
+    per-host span presence counts, the cross-multiply threshold, and
+    both output aggregates — catching drift in the enrichment
+    predicate, segment boundaries, or the distinct-doc counting."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from ragflow_spark.operators.corpus import (
+        BOILER_DEN,
+        BOILER_NUM,
+        SEG_WORDS,
+    )
+    from ragflow_spark.operators.registry import ORACLES
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [t for _, t in rows],
+            "lang": "en",
+            "source": [s for s, _ in rows],
+            "n_chars": [len(t) for _, t in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {
+        r["source"]: r
+        for _, r in con.sql(ORACLES["host_boilerplate_stats"]).df().iterrows()
+    }
+
+    def segments(text):
+        ws = text.split(" ")
+        return [
+            " ".join(ws[i : i + SEG_WORDS])
+            for i in range(0, len(ws), SEG_WORDS)
+        ]
+
+    per_host = {}
+    for did, (s, t) in enumerate(rows):
+        if did % 3 != 0:
+            t = f"nav {s} footer {t}"
+        st_ = per_host.setdefault(s, {"docs": 0, "occ": {}, "present": {}})
+        st_["docs"] += 1
+        for seg in segments(t):
+            h = hashlib.md5(seg.encode()).hexdigest()
+            st_["occ"][h] = st_["occ"].get(h, 0) + 1
+            st_["present"].setdefault(h, set()).add(did)
+    assert set(got) == set(per_host)
+    for s, st_ in per_host.items():
+        r = got[s]
+        boiler = {
+            h
+            for h, dids in st_["present"].items()
+            if len(dids) * BOILER_DEN >= st_["docs"] * BOILER_NUM
+        }
+        total_occ = sum(st_["occ"].values())
+        boiler_occ = sum(st_["occ"][h] for h in boiler)
+        sig = 0
+        for h in boiler:
+            sig ^= int(h[:15], 16)
+        assert int(r["n_docs"]) == st_["docs"]
+        assert int(r["n_spans"]) == len(st_["occ"])
+        assert int(r["n_boiler"]) == len(boiler)
+        assert abs(r["boiler_occ_share"] - round(boiler_occ / total_occ, 4)) <= 1e-4
+        assert int(r["boiler_sig"]) == sig
