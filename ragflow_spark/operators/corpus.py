@@ -1594,19 +1594,25 @@ def host_boilerplate_table(docs) -> dict[str, frozenset[str]]:
         F.countDistinct("doc_id").alias("present")
     )
     hd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("host_docs"))
-    rows = (
+    flagged = (
         occ.join(F.broadcast(hd), "source")
         .filter(
             F.col("present") * F.lit(BOILER_DEN)
             >= F.col("host_docs") * F.lit(BOILER_NUM)
         )
         .select("source", "h")
-        .collect()
     )
-    assert len(rows) < 100_000, (
-        f"boilerplate table unexpectedly large ({len(rows)}): the "
-        "frequent-span definition should bound it at site-chrome size"
-    )
+    # enforce the bound BEFORE collecting (an assert after the collect
+    # would OOM the driver first and vanishes under python -O —
+    # review fix): count() is a cheap distributed aggregate here
+    n = flagged.count()
+    if n >= 100_000:
+        raise ValueError(
+            f"boilerplate table unexpectedly large ({n} spans): the "
+            "frequent-span definition should bound it at site-chrome "
+            "size — refusing to collect to the driver"
+        )
+    rows = flagged.collect()
     table_: dict[str, set] = {}
     for r in rows:
         table_.setdefault(r.source, set()).add(r.h)

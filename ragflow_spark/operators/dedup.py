@@ -1013,7 +1013,9 @@ def neardup_containment(spark, sf_dir):
                 *CONTAIN_ANCHOR_HEX
             )
         )
-        .distinct()
+        # (doc_id, s) rows are already unique: explode of
+        # array_distinct(shingles) — no distinct needed (a .distinct()
+        # here shuffled the whole anchor stream once more, review fix)
         # the anchor table feeds THREE consumers (per-doc counts, the
         # stop-shingle df filter, both sides of the self-join);
         # materialize the small (doc_id, shingle) table once instead

@@ -763,7 +763,16 @@ def bm25_topk(spark, sf_dir):
     k rows per partition per query reach the merge) instead of a
     row_number window that would funnel every candidate into |Q|
     partitions."""
-    scored = _bm25_contribs(spark, sf_dir)
+    return _bm25_rank(_bm25_contribs(spark, sf_dir))
+
+
+def _bm25_rank(scored):
+    """Ranking stage over a contrib table: per-(query, doc) score
+    fold, then the topk_per_group two-phase local-slice top-k.
+    Factored so maxscore_prune_audit derives theta from the SAME
+    contrib chain it audits (one scan + one checkpoint per query —
+    review fix: calling bm25_topk() separately rebuilt the whole
+    chain, doubling the eager localCheckpoint job)."""
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.sum("contrib").cast("bigint").alias("score_milli"),
         F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
@@ -805,10 +814,18 @@ def bm25_topk(spark, sf_dir):
 # posting_compress_stats
 # --------------------------------------------------------------------------
 
-POSTING_BLOCK = 128  # Lucene-style posting block: deltas restart per block
-# varint width of a delta gap (1..4 groups of 7 bits covers doc ids to
-# 2^28 — the synthetic corpora stay far inside; at web scale the CASE
-# ladder extends to 5/6 groups, same shape)
+# Roaring-bitmap-style VALUE-RANGE containers (high bits of the doc id
+# key the container, CRoaring/RoaringBitmap's 2^16 width): deltas
+# restart per container, so in-container gaps span 1..65535 and the
+# 1/2/3-byte varint tiers are all reachable (review fix: the previous
+# 128-wide doc-id blocks bounded every gap at 127, making the wider
+# tiers dead code). Lucene's rank-based 128-POSTING blocks need a
+# global per-term order — exactly the hot-term straggler the
+# value-range key avoids (a corpus-wide term splits into
+# id-range/65536 independent bounded window partitions).
+POSTING_BLOCK = 65536
+# varint width of an in-container delta gap; gaps are < 65536 by
+# construction so the ELSE tier is an unreachable-guard only
 _VARINT_CASE = (
     "CASE WHEN {g} < 128 THEN 1 WHEN {g} < 16384 THEN 2 "
     "WHEN {g} < 2097152 THEN 3 ELSE 4 END"
@@ -860,24 +877,28 @@ _POSTING_ORACLE = f"""
 def posting_compress_stats(spark, sf_dir):
     """Posting-list storage planning — the third leg of the indexing
     family (inverted_index_stats builds, bm25_topk queries, this op
-    sizes what gets written): block-relative delta + varint encoding,
-    the Lucene/PforDelta posting format. Each term's sorted doc ids
-    split into {POSTING_BLOCK}-id blocks; the first entry of a block
-    is an 8-byte absolute (the skip-pointer restart), every subsequent
-    entry costs the varint width of its gap (1 byte under 128, 2 under
-    16384, ...). Output: the top-{IDX_TOPK} terms by df with exact
+    sizes what gets written): container-relative delta + varint
+    encoding in the Roaring-bitmap layout (doc ids partition into
+    {POSTING_BLOCK}-wide VALUE-RANGE containers keyed by the id's
+    high bits). A container's first entry is an 8-byte absolute (the
+    skip-pointer restart); every subsequent entry costs the varint
+    width of its in-container gap — 1 byte under 128, 2 under 16384,
+    3 up to the container width, every tier reachable by
+    construction. Output: the top-{IDX_TOPK} terms by df with exact
     varint vs fixed-width byte counts, the compression ratio, and a
-    bit_xor signature over (block, block_bytes) pairs that pins every
-    block's exact encoded size. Integer arithmetic end to end.
+    bit_xor signature over (container, container_bytes) pairs that
+    pins every container's exact encoded size. Integer arithmetic end
+    to end.
 
-    Scale shape: restarting deltas per doc-id block is what makes this
-    computable at web scale — the lag window partitions by (term,
-    block), so no window partition ever exceeds {POSTING_BLOCK}
-    entries and a hot term (df = the whole corpus) splits into
-    df/{POSTING_BLOCK} independent bounded partitions instead of one
-    straggler reducer (the same reason the real format has blocks:
-    skip pointers need restart points). The posting reduction is
-    map-side combinable; the per-term rollup ships one row per block."""
+    Scale shape: the value-range key is what makes this computable at
+    web scale — the delta lag window partitions by (term, container),
+    so a hot term (df = the whole corpus) splits into
+    id_range/{POSTING_BLOCK} independent bounded partitions instead
+    of one straggler reducer. Lucene's rank-based 128-POSTING blocks
+    would need a global per-term order — that straggler is the reason
+    this op keys containers by value range, as Roaring does. The
+    posting reduction is map-side combinable; the per-term rollup
+    ships one row per container."""
     tok = spread(table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
@@ -1041,13 +1062,16 @@ def best_passage_snippets(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("win_hits"))
     )
-    # argmax window per (query, doc): max_by over the integer-packed
-    # (hits, -start) key — an aggregate with a map-side partial, not
-    # a window (the cite_insertion idiom)
+    # argmax window per (query, doc): max_by over a STRUCT key whose
+    # lexicographic order replays (win_hits DESC, win_start ASC)
+    # exactly — an aggregate with a map-side partial, not a window
+    # (the cite_insertion idiom). A packed integer key
+    # (hits * K - start) silently inverts the order once win_start
+    # can reach K (a >1e6-token document) — review fix
     best = wins.groupBy("query_id", "doc_id", "rk").agg(
         F.expr(
-            f"max_by(named_struct('ws', win_start, 'wh', win_hits),"
-            f" win_hits * 1000000 - win_start)"
+            "max_by(named_struct('ws', win_start, 'wh', win_hits),"
+            " named_struct('h', win_hits, 'ns', -win_start))"
         ).alias("bw")
     ).select(
         "query_id",
@@ -1137,8 +1161,10 @@ def maxscore_prune_audit(spark, sf_dir):
         F.max("contrib").cast("bigint").alias("max_contrib"),
         F.count(F.lit(1)).cast("bigint").alias("n_postings"),
     )
+    # theta from the SAME contrib chain (shared checkpointed posting
+    # table) — not a second bm25_topk() build
     theta = (
-        bm25_topk(spark, sf_dir)
+        _bm25_rank(scored)
         .groupBy("query_id")
         .agg(F.min("score_milli").cast("bigint").alias("theta"))
     )

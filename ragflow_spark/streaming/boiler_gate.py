@@ -32,9 +32,11 @@ from ragflow_spark.operators.corpus import SEG_WORDS
 
 
 def scrub_boilerplate(text: str, flagged: frozenset) -> tuple[str, int]:
-    f"""Drop this page's flagged {SEG_WORDS}-word spans; returns
+    """Drop this page's flagged SEG_WORDS-word spans; returns
     (cleaned text, n spans removed). The ONE scrub definition both
-    the batch parity test and the streaming gate call."""
+    the batch parity test and the streaming gate call. (Plain
+    docstring on purpose: an f-string here is not a __doc__ and
+    would re-format per call inside the per-row UDF loop.)"""
     ws = text.split(" ")
     kept, removed = [], 0
     for i in range(0, len(ws), SEG_WORDS):

@@ -1080,11 +1080,13 @@ _POSTING_DOCSETS = st.lists(
 @settings(max_examples=40, deadline=None)
 def test_posting_compress_oracle_matches_python_reference(memberships):
     """DuckDB-vs-Python fuzz for the posting_compress_stats oracle:
-    an independent loop encoder (explicit block restarts + a varint
-    byte-width function) must reproduce every term's varint byte
-    count, block count, and per-block signature. doc_ids are spread
-    (i*7) so gaps regularly cross the 128 one-byte/two-byte varint
-    boundary and block restarts land mid-list."""
+    an independent loop encoder (explicit container restarts + a
+    varint byte-width function) must reproduce every term's varint
+    byte count, container count, and per-container signature. doc_ids
+    are spread (i*997) so sparse terms produce in-container gaps
+    crossing BOTH the 128 and 16384 varint boundaries (1/2/3-byte
+    tiers all fire) and container restarts land mid-list (ids span
+    multiple 65536-wide ranges)."""
     import duckdb
     import pandas as pd
 
@@ -1094,7 +1096,7 @@ def test_posting_compress_oracle_matches_python_reference(memberships):
         _POSTING_ORACLE,
     )
 
-    doc_ids = [i * 7 for i in range(len(memberships))]
+    doc_ids = [i * 997 for i in range(len(memberships))]
     pdf = pd.DataFrame(
         {
             "doc_id": doc_ids,

@@ -528,17 +528,19 @@ def test_dsir_gate_stream_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_boilerplate_scrub_stream_matches_reference(spark, sf_dir, tmp_path):
-    """Streaming boilerplate scrub == an independent per-doc Python
-    scrub under the same frozen table (shared scrub_boilerplate
-    definition; the reference here re-derives spans with its own
-    loop), every planted banner is removed, and body text survives."""
+    """Streaming boilerplate scrub == an INDEPENDENT per-doc Python
+    scrub under the same frozen table (the reference below re-derives
+    segmentation, hashing, and the rejoin with its own inline loop —
+    it deliberately does NOT call scrub_boilerplate, so a bug in the
+    shared definition fails here instead of being recomputed
+    identically), every planted banner is removed, and body text
+    survives."""
+    import hashlib
+
     from pyspark.sql import functions as F
 
-    from ragflow_spark.operators.corpus import host_boilerplate_table
-    from ragflow_spark.streaming.boiler_gate import (
-        boilerplate_scrub_stream,
-        scrub_boilerplate,
-    )
+    from ragflow_spark.operators.corpus import SEG_WORDS, host_boilerplate_table
+    from ragflow_spark.streaming.boiler_gate import boilerplate_scrub_stream
     from ragflow_spark.streaming.clean_gate import documents_stream
     from ragflow_spark.streaming.windows import run_to_memory
 
@@ -582,7 +584,19 @@ def test_boilerplate_scrub_stream_matches_reference(spark, sf_dir, tmp_path):
     empty = frozenset()
     n_banner_docs = 0
     for r in rows:
-        want = scrub_boilerplate(r.text, table.get(r.source, empty))
+        # independent reference scrub: own stride/hash/rejoin
+        flagged = table.get(r.source, empty)
+        ws = r.text.split(" ")
+        kept, removed = [], 0
+        i = 0
+        while i < len(ws):
+            seg = " ".join(ws[i : i + SEG_WORDS])
+            if hashlib.md5(seg.encode()).hexdigest() in flagged:
+                removed += 1
+            else:
+                kept.append(seg)
+            i += SEG_WORDS
+        want = (" ".join(kept), removed)
         assert got[r.doc_id] == want, r.doc_id
         if r.doc_id % 3 != 0:
             n_banner_docs += 1
